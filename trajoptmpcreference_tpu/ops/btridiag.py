@@ -1,0 +1,259 @@
+"""Batched block-tridiagonal operators, preconditioners, and PCG.
+
+The reference materializes the Schur complement S as one dense
+(N*bs, N*bs) matrix and runs dense matvecs inside PCG (ref:
+GBD-PCG-Python/PCG.py:66-212, TrajoptMPCReference.py:417-445).  Here S lives
+as its blocks:
+
+  diag: (N, bs, bs)   off-diag (upper): (N-1, bs, bs), lower = transpose
+
+so the PCG matvec is three batched (N, bs, bs) @ (N, bs) contractions — the
+shape XLA tiles onto the MXU — and the preconditioners are batched small
+inverses.  Preconditioner semantics match the reference exactly:
+'0' identity, 'J' Jacobi, 'BJ' block-Jacobi (ref: PCG.py:168-179),
+'SS' symmetric stair (ref: PCG.py:181-212, the MPCGPU parallel-friendly
+stair inverse).
+
+All functions are single-system; vmap for scenario batches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BlockTridiag(NamedTuple):
+    """Symmetric block-tridiagonal matrix.
+
+    diag: (N, bs, bs); upper: (N-1, bs, bs) with A[k, k+1] = upper[k] and
+    A[k+1, k] = upper[k]^T.
+    """
+
+    diag: jnp.ndarray
+    upper: jnp.ndarray
+
+    @property
+    def nblocks(self) -> int:
+        return self.diag.shape[0]
+
+    @property
+    def bs(self) -> int:
+        return self.diag.shape[1]
+
+
+def btd_matvec(A: BlockTridiag, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x with x as (N, bs)."""
+    y = jnp.einsum("kij,kj->ki", A.diag, x)
+    # upper: y_k += U_k x_{k+1}
+    y = y.at[:-1].add(jnp.einsum("kij,kj->ki", A.upper, x[1:]))
+    # lower: y_{k+1} += U_k^T x_k
+    y = y.at[1:].add(jnp.einsum("kji,kj->ki", A.upper, x[:-1]))
+    return y
+
+
+def btd_dense(A: BlockTridiag) -> jnp.ndarray:
+    """Materialize (for tests / dense fallback)."""
+    N, bs = A.nblocks, A.bs
+    M = jnp.zeros((N * bs, N * bs), dtype=A.diag.dtype)
+    for k in range(N):
+        M = M.at[k * bs:(k + 1) * bs, k * bs:(k + 1) * bs].set(A.diag[k])
+    for k in range(N - 1):
+        M = M.at[k * bs:(k + 1) * bs, (k + 1) * bs:(k + 2) * bs].set(A.upper[k])
+        M = M.at[(k + 1) * bs:(k + 2) * bs, k * bs:(k + 1) * bs].set(A.upper[k].T)
+    return M
+
+
+def _inv_blocks(blocks):
+    """Batched small-matrix inverse via solve (TPU-safe for f32/f64)."""
+    bs = blocks.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(bs, dtype=blocks.dtype), blocks.shape)
+    return _solve_batched(blocks, eye)
+
+
+def _solve_batched(A, B):
+    """Batched linear solve; uses Gaussian elimination with partial pivoting
+    expressed through jnp.linalg.solve (XLA lowers small LU fine on CPU; on
+    TPU f64 LU is unsupported, so we fall back to an explicit
+    Gauss-Jordan elimination)."""
+    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        return _gauss_jordan_solve(A, B)
+    return jnp.linalg.solve(A, B)
+
+
+def _gauss_jordan_solve(A, B):
+    """Vectorized Gauss-Jordan with partial pivoting on the last two dims."""
+    n = A.shape[-1]
+    M = jnp.concatenate([A, B], axis=-1)
+
+    def body(i, M):
+        col = jnp.abs(M[..., :, i])
+        idx = jnp.arange(n)
+        col = jnp.where(idx >= i, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        rows = jnp.take_along_axis(M, p[..., None, None], axis=-2)
+        Mi = jnp.take_along_axis(M, jnp.full_like(p, i)[..., None, None], axis=-2)
+        M = jnp.where((idx == p[..., None])[..., None], jnp.broadcast_to(Mi, M.shape), M)
+        M = jnp.where((idx == i)[..., None], jnp.broadcast_to(rows, M.shape), M)
+        pivot_row = M[..., i, :] / M[..., i, i][..., None]
+        factors = M[..., :, i]
+        upd = M - factors[..., None] * pivot_row[..., None, :]
+        upd = jnp.where((idx == i)[..., None], pivot_row[..., None, :], upd)
+        return upd
+
+    M = jax.lax.fori_loop(0, n, body, M)
+    return M[..., :, n:]
+
+
+# ------------------------------------------------------------ preconditioners
+
+def preconditioner(A: BlockTridiag, ptype: str) -> BlockTridiag:
+    """Return Pinv as a block-tridiagonal operator (off blocks zero for
+    '0'/'J'/'BJ')."""
+    N, bs = A.nblocks, A.bs
+    zero_off = jnp.zeros_like(A.upper)
+    if ptype == "0":
+        eye = jnp.broadcast_to(jnp.eye(bs, dtype=A.diag.dtype), A.diag.shape)
+        return BlockTridiag(eye, zero_off)
+    if ptype == "J":
+        d = jnp.einsum("kii->ki", A.diag)
+        Pd = jax.vmap(jnp.diag)(1.0 / d)
+        return BlockTridiag(Pd, zero_off)
+    if ptype == "BJ":
+        return BlockTridiag(_inv_blocks(A.diag), zero_off)
+    if ptype == "SS":
+        return _symmetric_stair(A)
+    raise ValueError(
+        "Invalid preconditioner; options are [0: none, J: Jacobi, "
+        "BJ: Block-Jacobi, SS: Symmetric Stair] (ref: PCG.py:52-55)")
+
+
+def _symmetric_stair(A: BlockTridiag) -> BlockTridiag:
+    """Symmetric-stair preconditioner (ref: PCG.py:181-212).
+
+    Stair inverse: diagonal blocks are inv(D_k); for odd k the left off-diag
+    block is -inv(D_k) A[k,k-1] inv(D_{k-1}); then symmetrized by copying the
+    odd blocks' off-diagonals to their transposes.  In block-tridiagonal
+    storage the result has upper blocks only at even positions
+    U[k] = -inv(D_k) A[k,k+1] inv(D_{k+1}) for even k (and zero at odd k),
+    exactly reproducing the dense reference pattern.
+    """
+    N, bs = A.nblocks, A.bs
+    Dinv = _inv_blocks(A.diag)
+    # Pinv upper block at position k (between blocks k and k+1):
+    #   the reference sets, for odd j = k+1:
+    #     Pinv[j, j-1] = -Dinv_j A[j, j-1] Dinv_{j-1}
+    #   and symmetrize copies Pinv[j-1, j] = Pinv[j, j-1]^T
+    #     = -Dinv_{j-1} A[j-1, j] Dinv_j          (A symmetric blocks)
+    # so upper[k] = -Dinv_k A.upper[k] Dinv_{k+1} for even k, else:
+    #   for odd j the symmetrize step also copies Pinv[j, j+1]^T to
+    #   Pinv[j+1, j] where Pinv[j, j+1] came from the stair ("elif k > 0"
+    #   branch) = -Dinv_j A[j, j+1] Dinv_{j+1}  -> same formula.
+    # Net: every off-diagonal block pair gets -Dinv_k A_k,k+1 Dinv_{k+1};
+    # the even/odd distinction only affects *which* copy is primary.
+    U = -jnp.einsum("kij,kjl,klm->kim", Dinv[:-1], A.upper, Dinv[1:])
+    # Reference detail: with an odd number of blocks the final even block's
+    # right off-diagonal is never produced by an odd row (no odd j = N), but
+    # the "elif k > 0" branch fills Pinv[N-2, N-1] when N-1 is even... the
+    # dense loops cover all pairs for every N >= 2, matching U above.
+    return BlockTridiag(Dinv, U)
+
+
+# ---------------------------------------------------------------------- PCG
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray            # (N, bs) solution
+    iters: jnp.ndarray        # scalar int
+    nu_trace: jnp.ndarray     # (max_iter+1,) |r^T Pinv r| history (0-padded)
+    converged: jnp.ndarray    # bool
+
+
+def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
+        guess: Optional[jnp.ndarray] = None,
+        exit_tolerance: float = 1e-6, max_iter: int = 100) -> PCGResult:
+    """Preconditioned conjugate gradient on a block-tridiagonal system.
+
+    Loop semantics match the reference (ref: PCG.py:66-111): nu = r^T Pinv r,
+    exit on |nu'| < tol, fixed max_iter bound, warm start via ``guess``
+    (ref: PCG.py:33, the MPC warm-start hook).
+    """
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b) if guess is None else guess
+    r0 = b - btd_matvec(A, x0)
+    rt0 = btd_matvec(Pinv, r0)
+    p0 = rt0
+    nu0 = jnp.vdot(r0, rt0)
+    trace0 = jnp.zeros(max_iter + 1, dtype=dtype).at[0].set(jnp.abs(nu0))
+
+    def cond(state):
+        _, _, _, nu, it, done, _ = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        x, r, p, nu, it, done, trace = state
+        Ap = btd_matvec(A, p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = nu / pAp
+        r_new = r - alpha * Ap
+        x_new = x + alpha * p
+        rt = btd_matvec(Pinv, r_new)
+        nu_new = jnp.vdot(r_new, rt)
+        trace = trace.at[it + 1].set(jnp.abs(nu_new))
+        done_new = jnp.abs(nu_new) < exit_tolerance
+        beta = nu_new / nu
+        p_new = rt + beta * p
+        return (x_new, r_new, p_new, nu_new, it + 1, done_new, trace)
+
+    init = (x0, r0, p0, nu0, jnp.array(0), jnp.array(False), trace0)
+    x, r, p, nu, it, done, trace = jax.lax.while_loop(cond, body, init)
+    return PCGResult(x=x, iters=it, nu_trace=trace, converged=done)
+
+
+def btd_solve_dense(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact solve by materializing (small N) — validation fallback
+    (ref: PCG parity test GBD-PCG-Python/test.py:18-36)."""
+    M = btd_dense(A)
+    return jnp.linalg.solve(M, b.reshape(-1)).reshape(b.shape)
+
+
+def btd_block_thomas(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct block-Thomas (block LU) solve, sequential over N via scan.
+
+    O(N bs^3) — the exact-solve workhorse for the Schur complement when PCG
+    is not requested (replaces the reference's dense np.linalg.solve of S,
+    ref: TrajoptMPCReference.py:432).
+    """
+    N, bs = A.nblocks, A.bs
+    upper_pad = jnp.concatenate(
+        [A.upper, jnp.zeros((1, bs, bs), dtype=A.diag.dtype)], axis=0)
+
+    # forward elimination as a scan: carry (C_{k-1}, d_{k-1})
+    def fwd(carry, inp):
+        Cprev, dprev, first = carry
+        Dk, Uk, Lk, bk = inp  # Lk = A.upper[k-1]^T (garbage at k=0, masked)
+        Dt = jnp.where(first, Dk, Dk - Lk @ Cprev)
+        dt = jnp.where(first, bk, bk - Lk @ dprev)
+        sol = _solve_batched(Dt, jnp.concatenate([Uk, dt[:, None]], axis=1))
+        Ck = sol[:, :bs]
+        dk = sol[:, bs]
+        return (Ck, dk, jnp.zeros((), bool)), (Ck, dk)
+
+    lower_pad = jnp.concatenate(
+        [jnp.zeros((1, bs, bs), dtype=A.diag.dtype),
+         jnp.swapaxes(A.upper, 1, 2)], axis=0)
+    init = (jnp.zeros((bs, bs), dtype=A.diag.dtype),
+            jnp.zeros((bs,), dtype=A.diag.dtype), jnp.ones((), bool))
+    _, (C, d) = jax.lax.scan(fwd, init, (A.diag, upper_pad, lower_pad, b))
+
+    # back substitution: x_k = d_k - C_k x_{k+1}
+    def bwd(x_next, inp):
+        Ck, dk, last = inp
+        xk = jnp.where(last, dk, dk - Ck @ x_next)
+        return xk, xk
+
+    last = jnp.arange(N) == N - 1
+    _, xs = jax.lax.scan(bwd, jnp.zeros((bs,), dtype=A.diag.dtype),
+                         (C, d, last), reverse=True)
+    return xs

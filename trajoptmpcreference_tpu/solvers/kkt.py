@@ -1,0 +1,273 @@
+"""KKT system construction and linear solves for the SQP subproblem.
+
+The reference builds one dense KKT matrix by looping over knots and growing
+the constraint rows with the active set (ref: TrajoptMPCReference.py:
+118-271, 313-455).  TPU-first re-design:
+
+* per-knot blocks (cost Hessian/gradient, dynamics Jacobians, defects, hard
+  constraint rows) are built with ONE vmap over knots — no Python-level knot
+  loop in the hot path;
+* the active set is a boolean mask over statically-shaped rows; inactive
+  rows are zeroed and their multipliers pinned to zero through a -1 diagonal
+  in the (otherwise zero) lower-right KKT block — algebraically identical to
+  deleting the rows, but shape-stable under jit;
+* the Schur complement S = D - C G^-1 C^T is never materialized densely: with
+  row groups [dynamics defect; hard rows] per knot it is block-tridiagonal
+  with block size bs = nx + m_hard, assembled as batched small matmuls and
+  solved by block-Thomas or PCG (ops.btridiag).
+
+Variable layout matches the reference: z = [x_0,u_0, ..., x_{N-2},u_{N-2},
+x_{N-1}]; the terminal knot is padded to full width n = nx+nu with decoupled
+unit-diagonal entries so every knot has uniform shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajoptmpcreference_tpu.models.plants import Plant
+from trajoptmpcreference_tpu.ops.btridiag import (
+    BlockTridiag,
+    btd_block_thomas,
+    btd_dense,
+    pcg,
+    preconditioner,
+    _solve_batched,
+)
+from trajoptmpcreference_tpu.solvers import constraints as C
+from trajoptmpcreference_tpu.solvers.costs import Cost
+
+
+class KKTBlocks(NamedTuple):
+    """Per-knot blocks; all leading axis N (terminal knot padded)."""
+
+    H: jnp.ndarray        # (N, n, n) cost Hessian (+ soft GN term), padded
+    g: jnp.ndarray        # (N, n) cost gradient (+ soft term), padded
+    A: jnp.ndarray        # (N-1, nx, nx) dynamics d x_{k+1} / d x_k
+    B: jnp.ndarray        # (N-1, nx, nu)
+    defect: jnp.ndarray   # (N, nx): [x_0 - xs, x_{k+1} - f(x_k, u_k)...]
+    hval: jnp.ndarray     # (N, m) masked hard-constraint values
+    hjac: jnp.ndarray     # (N, m, n) masked hard-constraint jacobians
+    hact: jnp.ndarray     # (N, m) bool activity mask
+
+
+class SchurSolveStats(NamedTuple):
+    pcg_iters: jnp.ndarray
+    pcg_converged: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class KKTSystem:
+    """Factory product: all solvers for one (plant, cost, constraints, N, dt)."""
+
+    plant: Plant
+    cost: Cost
+    cset: C.ConstraintSet
+    N: int
+    dt: float
+
+    # ---- static sizes ----
+    @property
+    def nx(self) -> int:
+        return self.plant.nx
+
+    @property
+    def nu(self) -> int:
+        return self.plant.nu
+
+    @property
+    def n(self) -> int:
+        return self.nx + self.nu
+
+    @property
+    def m(self) -> int:
+        """Hard rows per knot (stage count; terminal padded up to it)."""
+        return self.cset.hard_rows_stage
+
+    @property
+    def bs(self) -> int:
+        return self.nx + self.m
+
+    # ------------------------------------------------------------- blocks
+    def form_blocks(self, X, U, xs, cost_params, cstate) -> KKTBlocks:
+        """Build all per-knot KKT blocks (ref: TrajoptMPCReference.py:118-271),
+        with a single vmap over stage knots."""
+        N, nx, nu, n, m = self.N, self.nx, self.nu, self.n, self.m
+        plant, cost, cs = self.plant, self.cost, self.cset
+        dtype = X.dtype
+        ks = jnp.arange(N - 1)
+        Xs = X[:, :-1].T   # (N-1, nx)
+        Us = U.T           # (N-1, nu)
+
+        has_soft = cs.has_soft()
+
+        def stage(x, u, k):
+            H = cost.stage_hessian(cost_params, x, u, k)
+            g = cost.stage_gradient(cost_params, x, u, k)
+            if has_soft:
+                gc = C.stage_soft_jacobian(cs, cstate, x, u, k)
+                g = g + gc
+                H = H + jnp.outer(gc, gc)  # GN soft term (ref: :149-150)
+            A, B = plant.step_gradient(x, u, self.dt)
+            xkp1 = plant.step(x, u, self.dt)
+            hv, hj, ha = C.stage_hard_rows(cs, x, u, terminal=False)
+            return H, g, A, B, xkp1, hv, hj, ha
+
+        H_s, g_s, A_s, B_s, xpred, hv_s, hj_s, ha_s = jax.vmap(stage)(Xs, Us, ks)
+
+        # terminal knot (ref: :176-198), padded to width n
+        xN = X[:, -1]
+        kN = jnp.asarray(N - 1)
+        H_N = cost.term_hessian(cost_params, xN, kN)
+        g_N = cost.term_gradient(cost_params, xN, kN)
+        if has_soft:
+            gcN = C.term_soft_jacobian(cs, cstate, xN, kN)
+            g_N = g_N + gcN
+            H_N = H_N + jnp.outer(gcN, gcN)
+        hvN, hjN, haN = C.stage_hard_rows(cs, xN, None, terminal=True)
+        mt = hvN.shape[0]
+
+        # pad terminal H with unit diagonal on the phantom control vars
+        H_pad = jnp.eye(n, dtype=dtype).at[:nx, :nx].set(H_N)
+        g_pad = jnp.zeros(n, dtype=dtype).at[:nx].set(g_N)
+        H = jnp.concatenate([H_s, H_pad[None]], axis=0)
+        g = jnp.concatenate([g_s, g_pad[None]], axis=0)
+
+        # defects: row 0 is the initial-state constraint (ref: :137-138)
+        defect = jnp.concatenate(
+            [(X[:, 0] - xs)[None], (X[:, 1:].T - xpred)], axis=0)  # (N, nx)
+
+        # hard rows, terminal group padded to m rows / n cols (inactive)
+        hvN_p = jnp.zeros(m, dtype=dtype).at[:mt].set(hvN)
+        hjN_p = jnp.zeros((m, n), dtype=dtype).at[:mt, :nx].set(hjN)
+        haN_p = jnp.zeros(m, dtype=bool).at[:mt].set(haN)
+        hval = jnp.concatenate([hv_s, hvN_p[None]], axis=0)
+        hjac = jnp.concatenate([hj_s, hjN_p[None]], axis=0)
+        hact = jnp.concatenate([ha_s, haN_p[None]], axis=0)
+        return KKTBlocks(H, g, A_s, B_s, defect, hval, hjac, hact)
+
+    # --------------------------------------------- row-group jacobians E, F
+    def _EF(self, blocks: KKTBlocks):
+        """Row group k = [defect rows (nx); hard rows (m)] has jacobian
+        E_k over knot k-1 vars and F_k over knot k vars."""
+        N, nx, nu, n, m, bs = self.N, self.nx, self.nu, self.n, self.m, self.bs
+        dtype = blocks.H.dtype
+        # E_k: defect rows [-A_{k-1}, -B_{k-1}], hard rows 0; E_0 = 0
+        E_dyn = jnp.concatenate([-blocks.A, -blocks.B], axis=2)  # (N-1, nx, n)
+        E = jnp.zeros((N, bs, n), dtype=dtype).at[1:, :nx, :].set(E_dyn)
+        # F_k: defect rows [I, 0]; hard rows J_k
+        I_x = jnp.zeros((nx, n), dtype=dtype).at[:, :nx].set(jnp.eye(nx, dtype=dtype))
+        F = jnp.broadcast_to(
+            jnp.concatenate([I_x, jnp.zeros((m, n), dtype=dtype)], axis=0),
+            (N, bs, n)).at[:, nx:, :].set(blocks.hjac)
+        # rhs rows and diagonal D (0 live rows, -1 pinned multipliers)
+        rhs = jnp.concatenate([blocks.defect, blocks.hval], axis=1)  # (N, bs)
+        live = jnp.concatenate(
+            [jnp.ones((N, nx), dtype=bool), blocks.hact], axis=1)
+        D = jnp.where(live, 0.0, -1.0).astype(dtype)                 # (N, bs)
+        return E, F, rhs, D
+
+    # ----------------------------------------------------------- dense KKT
+    def solve_dense(self, blocks: KKTBlocks, rho) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Assemble and solve the full dense KKT system
+        (ref: solveKKTSystem, TrajoptMPCReference.py:313-359).
+
+        Returns (dxu (N, n) with the terminal tail zero-padded, lam (N, bs)).
+        """
+        N, nx, n, bs = self.N, self.nx, self.n, self.bs
+        dtype = blocks.H.dtype
+        T = N * n
+        M = N * bs
+        E, F, rhs, D = self._EF(blocks)
+        G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
+        # phantom terminal controls: keep their unit diagonal unregularized
+        KKT = jnp.zeros((T + M, T + M), dtype=dtype)
+        for k in range(N):
+            KKT = KKT.at[k * n:(k + 1) * n, k * n:(k + 1) * n].set(G[k])
+            r0 = T + k * bs
+            KKT = KKT.at[r0:r0 + bs, k * n:(k + 1) * n].set(F[k])
+            KKT = KKT.at[k * n:(k + 1) * n, r0:r0 + bs].set(F[k].T)
+            if k > 0:
+                KKT = KKT.at[r0:r0 + bs, (k - 1) * n:k * n].set(E[k])
+                KKT = KKT.at[(k - 1) * n:k * n, r0:r0 + bs].set(E[k].T)
+            KKT = KKT.at[jnp.arange(r0, r0 + bs), jnp.arange(r0, r0 + bs)].set(D[k])
+        kkt = jnp.concatenate([blocks.g.reshape(-1), rhs.reshape(-1)])
+        sol = jnp.linalg.solve(KKT, kkt)
+        # lstsq fallback on singular systems (ref: :353-357)
+        bad = ~jnp.all(jnp.isfinite(sol))
+        sol = jax.lax.cond(
+            bad,
+            lambda: _lstsq(KKT, kkt),
+            lambda: sol,
+        )
+        dxu = sol[:T].reshape(N, n)
+        lam = sol[T:].reshape(N, bs)
+        return dxu, lam, bad
+
+    # ---------------------------------------------------------- Schur path
+    def schur_blocks(self, blocks: KKTBlocks, rho):
+        """Assemble S = D - C G^-1 C^T as a BlockTridiag plus gamma
+        (ref: solveKKTSystem_Schur, TrajoptMPCReference.py:417-424), using
+        only batched per-knot matmuls."""
+        N, n = self.N, self.n
+        dtype = blocks.H.dtype
+        E, F, rhs, D = self._EF(blocks)
+        G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
+        invG = _inv_psd(G)
+        # S_kk = D_k - E_k invG_{k-1} E_k^T - F_k invG_k F_k^T
+        EiE = jnp.einsum("kin,knm,kjm->kij", E[1:], invG[:-1], E[1:])
+        FiF = jnp.einsum("kin,knm,kjm->kij", F, invG, F)
+        Sd = jax.vmap(jnp.diag)(D) - FiF
+        Sd = Sd.at[1:].add(-EiE)
+        # S_{k,k+1} = -F_k invG_k E_{k+1}^T
+        So = -jnp.einsum("kin,knm,kjm->kij", F[:-1], invG[:-1], E[1:])
+        # gamma_k = rhs_k - E_k invG_{k-1} g_{k-1} - F_k invG_k g_k
+        gam = rhs - jnp.einsum("kin,kn->ki", F, jnp.einsum("knm,km->kn", invG, blocks.g))
+        gam = gam.at[1:].add(
+            -jnp.einsum("kin,kn->ki", E[1:], jnp.einsum("knm,km->kn", invG[:-1], blocks.g[:-1])))
+        return BlockTridiag(Sd, So), gam, invG, E, F
+
+    def recover_dxu(self, invG, E, F, blocks: KKTBlocks, lam):
+        """dxu = G^-1 (g - C^T lam) blockwise (ref: :449-452)."""
+        rhs = blocks.g - jnp.einsum("kni,kn->ki", F, lam)
+        rhs = rhs.at[:-1].add(-jnp.einsum("kni,kn->ki", E[1:], lam[1:]))
+        return jnp.einsum("kij,kj->ki", invG, rhs)
+
+    def solve_schur(self, blocks: KKTBlocks, rho,
+                    use_pcg: bool = False,
+                    pcg_tol: float = 1e-6,
+                    pcg_max_iter: int = 100,
+                    precond: str = "SS",
+                    guess: Optional[jnp.ndarray] = None):
+        """Schur-complement solve, exact (block-Thomas) or PCG
+        (ref: TrajoptMPCReference.py:361-455)."""
+        S, gam, invG, E, F = self.schur_blocks(blocks, rho)
+        if use_pcg:
+            Pinv = preconditioner(S, precond)
+            res = pcg(S, gam, Pinv, guess=guess,
+                      exit_tolerance=pcg_tol, max_iter=pcg_max_iter)
+            lam = res.x
+            stats = SchurSolveStats(res.iters, res.converged)
+        else:
+            lam = btd_block_thomas(S, gam)
+            stats = SchurSolveStats(jnp.array(0), jnp.array(True))
+        dxu = self.recover_dxu(invG, E, F, blocks, lam)
+        return dxu, lam, stats
+
+
+def _lstsq(A, b):
+    """Least-squares via normal equations with Tikhonov jitter — the jit-safe
+    analogue of the reference's np.linalg.lstsq fallback (ref: :357)."""
+    AtA = A.T @ A + 1e-10 * jnp.eye(A.shape[1], dtype=A.dtype)
+    return jnp.linalg.solve(AtA, A.T @ b)
+
+
+def _inv_psd(G):
+    """Batched inverse of small (regularized) blocks."""
+    eye = jnp.broadcast_to(jnp.eye(G.shape[-1], dtype=G.dtype), G.shape)
+    return _solve_batched(G, eye)

@@ -1,0 +1,339 @@
+"""SQP trajectory optimizer: jit-compiled, batchable, shardable.
+
+Semantics follow the reference solver (ref: TrajoptMPCReference.py:510-760):
+three nested loops — soft-constraint outer loop, SQP iteration, L1-merit
+line search (Nocedal & Wright 18.3) — with the reference's exit codes, rho
+regularization schedule, hardcoded merit weight mu = 10 (ref: :545-546), and
+the same linear-system menu {N, S, PCG-J, PCG-BJ, PCG-SS} (ref: :13-18).
+
+TPU-first re-design: the loops are lax.while_loops over pytree state, the
+per-knot work is vmapped (kkt.py), the trajectory update is one fused
+axpy, and the whole solve is a pure function of (x0, u0, cost_params,
+constraint_state) — so thousands of scenarios run per chip via vmap and
+scale across meshes via shard_map (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trajoptmpcreference_tpu.models.plants import Plant
+from trajoptmpcreference_tpu.solvers import constraints as C
+from trajoptmpcreference_tpu.solvers.costs import Cost
+from trajoptmpcreference_tpu.solvers.kkt import KKTSystem
+
+SQP_METHODS = ("N", "S", "PCG-J", "PCG-BJ", "PCG-SS")
+
+# exit codes (ref: TrajoptMPCReference.py:463-508)
+EXIT_TOL = 1
+EXIT_RHO_MAX = 2
+EXIT_MAX_ITER = 3
+EXIT_SOFT_CONVERGED = 1
+EXIT_SOFT_MAX_ITER = 2
+EXIT_SOFT_MU_LIMIT = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPOptions:
+    """Hyperparameters with the reference defaults
+    (ref: TrajoptMPCReference.py:91-115)."""
+
+    exit_tolerance: float = 1e-6
+    max_iter: int = 100
+    alpha_factor: float = 0.5
+    alpha_min: float = 0.005
+    rho_factor: float = 4.0
+    rho_min: float = 1e-3
+    rho_max: float = 1e3
+    rho_init: float = 1e-3
+    expected_reduction_min: float = 0.05
+    expected_reduction_max: float = 3.0
+    merit_mu: float = 10.0            # hardcoded in the reference (ref: :546)
+    exit_tolerance_linSys: float = 1e-6
+    max_iter_linSys: int = 100
+    exit_tolerance_soft: float = 1e-6
+    max_iter_soft: int = 10
+
+
+class SQPResult(NamedTuple):
+    X: jnp.ndarray            # (nx, N)
+    U: jnp.ndarray            # (nu, N-1)
+    exit_sqp: jnp.ndarray     # int
+    exit_soft: jnp.ndarray    # int
+    outer_iters: jnp.ndarray  # int
+    sqp_iters: jnp.ndarray    # int (last outer round, as the reference returns)
+    J: jnp.ndarray            # final cost
+    viol: jnp.ndarray         # final hard-constraint violation
+    cstate: Any               # final soft-constraint hyperparameters
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPSolver:
+    plant: Plant
+    cost: Cost
+    cset: C.ConstraintSet
+    N: int
+    dt: float
+    method: str
+    options: SQPOptions
+    kkt: KKTSystem
+
+    # ------------------------------------------------------------- metrics
+    def total_cost(self, X, U, cost_params, cstate):
+        """(ref: TrajoptMPCReference.py:296-310)."""
+        ks = jnp.arange(self.N - 1)
+        stage = jax.vmap(lambda x, u, k: self.cost.stage_value(cost_params, x, u, k))
+        J = jnp.sum(stage(X[:, :-1].T, U.T, ks))
+        J = J + self.cost.term_value(cost_params, X[:, -1], jnp.asarray(self.N - 1))
+        if self.cset.has_soft():
+            soft = jax.vmap(lambda x, u, k: C.stage_soft_value(self.cset, cstate, x, u, k))
+            J = J + jnp.sum(soft(X[:, :-1].T, U.T, ks))
+            J = J + C.term_soft_value(self.cset, cstate, X[:, -1], jnp.asarray(self.N - 1))
+        return J
+
+    def total_violation(self, X, U, xs):
+        """Initial-state + dynamics defects + active hard-constraint values
+        (ref: TrajoptMPCReference.py:273-294)."""
+        step = jax.vmap(lambda x, u: self.plant.step(x, u, self.dt))
+        xpred = step(X[:, :-1].T, U.T)                       # (N-1, nx)
+        c = jnp.sum(jnp.abs(X[:, 0] - xs))
+        c = c + jnp.sum(jnp.abs(X[:, 1:].T - xpred))
+        if self.cset.has_hard():
+            hv = jax.vmap(lambda x, u: C.stage_hard_rows(self.cset, x, u, False)[0])(
+                X[:, :-1].T, U.T)
+            c = c + jnp.sum(jnp.abs(hv))
+            hvN, _, _ = C.stage_hard_rows(self.cset, X[:, -1], None, True)
+            c = c + jnp.sum(jnp.abs(hvN))
+        return c
+
+    def directional_derivative(self, Xc, Uc, dxu, cost_params, cstate):
+        """D = sum_k grad_k . dxu_k (+ soft jacobians), evaluated at the
+        candidate trajectory (ref: TrajoptMPCReference.py:636-648)."""
+        ks = jnp.arange(self.N - 1)
+
+        def stage(x, u, k, d):
+            g = self.cost.stage_gradient(cost_params, x, u, k)
+            if self.cset.has_soft():
+                g = g + C.stage_soft_jacobian(self.cset, cstate, x, u, k)
+            return g @ d
+
+        D = jnp.sum(jax.vmap(stage)(Xc[:, :-1].T, Uc.T, ks, dxu[:-1]))
+        gN = self.cost.term_gradient(cost_params, Xc[:, -1], jnp.asarray(self.N - 1))
+        if self.cset.has_soft():
+            gN = gN + C.term_soft_jacobian(self.cset, cstate, Xc[:, -1],
+                                           jnp.asarray(self.N - 1))
+        D = D + gN @ dxu[-1, :self.plant.nx]
+        return D
+
+    # ------------------------------------------------------------ QP solve
+    def solve_qp(self, X, U, xs, cost_params, cstate, rho, guess):
+        blocks = self.kkt.form_blocks(X, U, xs, cost_params, cstate)
+        if self.method == "N":
+            dxu, lam, singular = self.kkt.solve_dense(blocks, rho)
+            return dxu, lam, jnp.array(0), singular
+        use_pcg = self.method.startswith("PCG")
+        precond = self.method[4:] if use_pcg else "SS"
+        dxu, lam, stats = self.kkt.solve_schur(
+            blocks, rho, use_pcg=use_pcg,
+            pcg_tol=self.options.exit_tolerance_linSys,
+            pcg_max_iter=self.options.max_iter_linSys,
+            precond=precond,
+            guess=guess if use_pcg else None)
+        return dxu, lam, stats.pcg_iters, jnp.array(False)
+
+    # ----------------------------------------------------------- line search
+    def line_search(self, X, U, dxu, J, c, merit, xs, cost_params, cstate):
+        """(ref: TrajoptMPCReference.py:606-744)."""
+        o = self.options
+        nx, nu = self.plant.nx, self.plant.nu
+        mu = o.merit_mu
+        dX = dxu[:, :nx].T          # (nx, N)
+        dU = dxu[:-1, nx:].T        # (nu, N-1)
+
+        def evaluate(alpha):
+            Xc = X - alpha * dX
+            Uc = U - alpha * dU
+            J_new = self.total_cost(Xc, Uc, cost_params, cstate)
+            c_new = self.total_violation(Xc, Uc, xs)
+            D = self.directional_derivative(Xc, Uc, dxu, cost_params, cstate)
+            merit_new = J_new + mu * c_new
+            delta_merit = merit - merit_new
+            expected = alpha * (D - mu * c_new)
+            ratio = delta_merit / expected
+            ok = ((delta_merit >= 0)
+                  & (ratio >= o.expected_reduction_min)
+                  & (ratio <= o.expected_reduction_max))
+            return Xc, Uc, J_new, c_new, merit_new, D, ratio, ok
+
+        class LS(NamedTuple):
+            alpha: jnp.ndarray
+            done: jnp.ndarray
+            accepted: jnp.ndarray
+            ls_iter: jnp.ndarray
+            Xc: jnp.ndarray
+            Uc: jnp.ndarray
+            J_new: jnp.ndarray
+            c_new: jnp.ndarray
+            merit_new: jnp.ndarray
+            D: jnp.ndarray
+            ratio: jnp.ndarray
+
+        def body(s: LS) -> LS:
+            Xc, Uc, J_new, c_new, merit_new, D, ratio, ok = evaluate(s.alpha)
+            can_retry = s.alpha > o.alpha_min
+            done = ok | ~can_retry
+            next_alpha = jnp.where(ok | ~can_retry, s.alpha, s.alpha * o.alpha_factor)
+            return LS(alpha=next_alpha, done=done, accepted=ok,
+                      ls_iter=s.ls_iter + jnp.where(done, 0, 1),
+                      Xc=Xc, Uc=Uc, J_new=J_new, c_new=c_new,
+                      merit_new=merit_new, D=D, ratio=ratio)
+
+        dtype = X.dtype
+        init = LS(alpha=jnp.asarray(1.0, dtype), done=jnp.array(False),
+                  accepted=jnp.array(False), ls_iter=jnp.array(0),
+                  Xc=X, Uc=U, J_new=J, c_new=c, merit_new=merit,
+                  D=jnp.zeros((), dtype), ratio=jnp.zeros((), dtype))
+        out = jax.lax.while_loop(lambda s: ~s.done, body, init)
+        return out
+
+    # ------------------------------------------------------------ SQP loop
+    def sqp_round(self, X, U, xs, cost_params, cstate):
+        """One inner SQP solve (the reference's main loop, ref: :571-750).
+        Returns (X, U, exit_code, iters, J, c)."""
+        o = self.options
+        dtype = X.dtype
+        J0 = self.total_cost(X, U, cost_params, cstate)
+        c0 = self.total_violation(X, U, xs)
+        merit0 = J0 + o.merit_mu * c0
+        guess0 = jnp.zeros((self.N, self.kkt.bs), dtype=dtype)
+
+        class S(NamedTuple):
+            X: jnp.ndarray
+            U: jnp.ndarray
+            J: jnp.ndarray
+            c: jnp.ndarray
+            merit: jnp.ndarray
+            rho: jnp.ndarray
+            drho: jnp.ndarray
+            it: jnp.ndarray
+            exit_code: jnp.ndarray
+            done: jnp.ndarray
+            guess: jnp.ndarray
+
+        def body(s: S) -> S:
+            dxu, lam, pcg_iters, singular = self.solve_qp(
+                s.X, s.U, xs, cost_params, cstate, s.rho, s.guess)
+            ls = self.line_search(s.X, s.U, dxu, s.J, s.c, s.merit,
+                                  xs, cost_params, cstate)
+            accepted = ls.accepted
+            error = ~accepted
+            X1 = jnp.where(accepted, ls.Xc, s.X)
+            U1 = jnp.where(accepted, ls.Uc, s.U)
+            J1 = jnp.where(accepted, ls.J_new, s.J)
+            c1 = jnp.where(accepted, ls.c_new, s.c)
+            merit1 = jnp.where(accepted, ls.merit_new, s.merit)
+            # regularization schedule (ref: :457-461, :466-468)
+            drho_ok = jnp.minimum(s.drho / o.rho_factor, 1.0 / o.rho_factor)
+            rho_ok = jnp.maximum(s.rho * drho_ok, o.rho_min)
+            drho_err = jnp.maximum(s.drho * o.rho_factor, o.rho_factor)
+            rho_err = jnp.maximum(s.rho * drho_err, o.rho_min)
+            rho1 = jnp.where(accepted, rho_ok, rho_err)
+            drho1 = jnp.where(accepted, drho_ok, drho_err)
+            # exit logic (ref: :463-481)
+            delta_J = s.J - ls.J_new
+            exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
+            exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
+                                  EXIT_TOL, exit_code)
+            hit_max = s.it == (o.max_iter - 1)
+            exit_code = jnp.where(hit_max, EXIT_MAX_ITER, exit_code)
+            done = (exit_code > 0)
+            it1 = jnp.where(done, s.it, s.it + 1)
+            return S(X=X1, U=U1, J=J1, c=c1, merit=merit1, rho=rho1,
+                     drho=drho1, it=it1, exit_code=exit_code, done=done,
+                     guess=lam)
+
+        init = S(X=X, U=U, J=J0, c=c0, merit=merit0,
+                 rho=jnp.asarray(o.rho_init, dtype),
+                 drho=jnp.asarray(1.0, dtype), it=jnp.array(0),
+                 exit_code=jnp.array(0), done=jnp.array(False), guess=guess0)
+        out = jax.lax.while_loop(lambda s: ~s.done, body, init)
+        return out.X, out.U, out.exit_code, out.it, out.J, out.c
+
+    # ----------------------------------------------------------- full solve
+    def solve(self, x0, u0, cost_params=None, cstate=None) -> SQPResult:
+        """Full SQP with the soft-constraint outer loop
+        (ref: TrajoptMPCReference.py:510-760)."""
+        o = self.options
+        cost_params = self.cost.default_params if cost_params is None else cost_params
+        if cstate is None:
+            cstate = self.cset.init_state(dtype=x0.dtype)
+        xs = x0[:, 0]
+
+        class SoftS(NamedTuple):
+            X: jnp.ndarray
+            U: jnp.ndarray
+            cstate: Any
+            outer_it: jnp.ndarray
+            exit_soft: jnp.ndarray
+            exit_sqp: jnp.ndarray
+            sqp_iters: jnp.ndarray
+            J: jnp.ndarray
+            c: jnp.ndarray
+            done: jnp.ndarray
+
+        def body(s: SoftS) -> SoftS:
+            X1, U1, exit_sqp, iters, J, c = self.sqp_round(
+                s.X, s.U, xs, cost_params, s.cstate)
+            # soft-constraint convergence checks (ref: :483-508)
+            max_c = C.max_soft_violation(self.cset, s.cstate, X1, U1)
+            exit_soft = jnp.where(max_c < o.exit_tolerance_soft,
+                                  EXIT_SOFT_CONVERGED, 0)
+            hit_max = s.outer_it == (o.max_iter_soft - 1)
+            exit_soft = jnp.where(hit_max & (exit_soft == 0),
+                                  EXIT_SOFT_MAX_ITER, exit_soft)
+            exiting = exit_soft > 0
+            new_cstate, mu_at_limit = C.update_all_soft(self.cset, s.cstate, X1, U1)
+            # only update the state when not exiting (ref: :501-507)
+            cstate1 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(exiting, old, new), new_cstate, s.cstate)
+            exit_soft = jnp.where(~exiting & mu_at_limit,
+                                  EXIT_SOFT_MU_LIMIT, exit_soft)
+            done = exit_soft > 0
+            outer_it1 = jnp.where(hit_max | done, s.outer_it, s.outer_it + 1)
+            return SoftS(X=X1, U=U1, cstate=cstate1, outer_it=outer_it1,
+                         exit_soft=exit_soft, exit_sqp=exit_sqp,
+                         sqp_iters=iters, J=J, c=c, done=done)
+
+        dtype = x0.dtype
+        init = SoftS(X=x0, U=u0, cstate=cstate, outer_it=jnp.array(0),
+                     exit_soft=jnp.array(0), exit_sqp=jnp.array(0),
+                     sqp_iters=jnp.array(0), J=jnp.zeros((), dtype),
+                     c=jnp.zeros((), dtype), done=jnp.array(False))
+        out = jax.lax.while_loop(lambda s: ~s.done, body, init)
+        return SQPResult(X=out.X, U=out.U, exit_sqp=out.exit_sqp,
+                         exit_soft=out.exit_soft, outer_iters=out.outer_it,
+                         sqp_iters=out.sqp_iters, J=out.J, viol=out.c,
+                         cstate=out.cstate)
+
+
+def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
+             N: int, dt: float, method: str = "N",
+             options: Optional[SQPOptions] = None) -> SQPSolver:
+    """Build a jit-specialized SQP solver (the reference's
+    TrajoptMPCReference(plant, cost, constraints).SQP entry point,
+    ref: TrajoptMPCReference.py:29-42,510)."""
+    if method not in SQP_METHODS:
+        raise ValueError(
+            f"Invalid QP solver {method!r}; options are N (dense KKT), "
+            "S (Schur), PCG-J / PCG-BJ / PCG-SS (ref: :590-596)")
+    if cset is None:
+        cset = C.ConstraintSet(plant.nq, plant.nv, plant.nu, N)
+    options = options or SQPOptions()
+    kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt)
+    return SQPSolver(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
+                     method=method, options=options, kkt=kkt)
