@@ -1,0 +1,82 @@
+"""Regenerate golden SQP trajectories by running the reference implementation.
+
+Usage:  python tests/golden/generate.py [/path/to/reference]
+
+Runs VCA-EPFL/TrajoptMPCReference (expected at /root/reference) on the
+2-link arm task-space problem under several solver configurations and saves
+(x, u, exit codes) per config as .npz.  The committed .npz files are the
+golden fixtures for tests/test_sqp_parity.py; this script only needs to be
+re-run if the configs change.
+
+Config notes:
+  * expected_reduction_min = -100 matches the reference's own working driver
+    (ref: examples/twolinks.py:87) — the default 0.05 makes the reference
+    exit almost immediately on this problem.
+  * Our UrdfCost must be built with ref_compat=True to match these goldens
+    (the reference's dJdq has a sign error; see costs.py docstring).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+REF = sys.argv[1] if len(sys.argv) > 1 else "/root/reference"
+sys.path.insert(0, REF)
+
+from TrajoptPlant import URDFPlant  # noqa: E402
+from TrajoptCost import UrdfCost, QuadraticCost  # noqa: E402
+from TrajoptConstraint import TrajoptConstraint  # noqa: E402
+from TrajoptMPCReference import TrajoptMPCReference, SQPSolverMethods  # noqa: E402
+
+N, DT = 10, 0.1
+QD = np.diag([1.0, 1.0, 1.0, 1.0])
+QF = np.diag([100.0] * 4)
+R = 0.1 * np.eye(2)
+XG = np.array([0.5, 1.5, 0.0, 0.0])
+OPTS = {"expected_reduction_min_SQP_DDP": -100, "overloading": False}
+
+
+def fresh():
+    plant = URDFPlant(options={
+        "path_to_urdf": f"{REF}/models/arm2.urdf",
+        "gravity": -9.81, "overloading": False})
+    cost = UrdfCost(plant, QD, QF, R, XG, overloading=False)
+    return plant, cost
+
+
+def run(name, method, constraints=None):
+    plant, cost = fresh()
+    solver = TrajoptMPCReference(plant, cost, constraints)
+    x = np.zeros((4, N))
+    u = np.zeros((2, N - 1))
+    t = time.time()
+    x, u, exit_sqp, exit_soft, outer_iters, iters = solver.SQP(
+        x, u, N, DT, method, options=dict(OPTS))
+    dtired = time.time() - t
+    print(f"{name}: {dtired:.1f}s exit=({exit_sqp},{exit_soft}) "
+          f"outer={outer_iters} iters={iters}")
+    np.savez(f"{sys.path[0] if __name__ == '__main__' else '.'}/x_{name}.npz"
+             if False else f"tests/golden/{name}.npz",
+             x=x, u=u, exit_sqp=exit_sqp, exit_soft=exit_soft,
+             outer_iters=outer_iters, iters=iters, wall_s=dtired)
+
+
+def torque_limits(mode):
+    c = TrajoptConstraint(2, 2, 2, N)
+    c.set_torque_limits([7.0], [-7.0], mode, options={"overloading": False})
+    return c
+
+
+def tight_torque_limits(mode):
+    c = TrajoptConstraint(2, 2, 2, N)
+    c.set_torque_limits([0.2], [-0.2], mode, options={"overloading": False})
+    return c
+
+
+if __name__ == "__main__":
+    run("arm2_N", SQPSolverMethods.N)
+    run("arm2_S", SQPSolverMethods.S)
+    run("arm2_PCG_SS", SQPSolverMethods.PCG_SS)
+    run("arm2_S_AL", SQPSolverMethods.S, tight_torque_limits("AUGMENTED_LAGRANGIAN"))
+    run("arm2_S_active_set", SQPSolverMethods.S, tight_torque_limits("ACTIVE_SET"))

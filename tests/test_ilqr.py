@@ -1,0 +1,139 @@
+"""iLQR solver tests: swing-up physics, constraint handling, SQP agreement.
+
+The reference snapshot dropped its iLQR implementation (ref: README.md:17
+still advertises it; MPCSolverMethods still lists it,
+TrajoptMPCReference.py:21-27), so there is no golden to diff against.
+Instead we check physics outcomes and cross-solver agreement: on a smooth
+unconstrained problem iLQR and SQP must find the same local optimum.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptmpcreference_tpu.models.plants import (
+    CartPolePlant,
+    DoubleIntegratorPlant,
+    PendulumPlant,
+    URDFPlant,
+)
+from trajoptmpcreference_tpu.models.urdf import serial_arm
+from trajoptmpcreference_tpu.ops.kinematics import make_kinematics
+from trajoptmpcreference_tpu.solvers import constraints as C
+from trajoptmpcreference_tpu.solvers.costs import QuadraticCost, UrdfCost
+from trajoptmpcreference_tpu.solvers.ilqr import make_ilqr
+from trajoptmpcreference_tpu.solvers.sqp import SQPOptions, make_sqp
+
+
+def test_pendulum_swing_up():
+    """(config per ref: examples/pendulum.py:13-16)."""
+    plant = PendulumPlant()
+    N, dt = 20, 0.1
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    solver = make_ilqr(plant, cost, None, N, dt)
+    res = jax.jit(solver.solve)(jnp.zeros((2, N)), jnp.zeros((1, N - 1)))
+    assert int(res.exit_ilqr) == 1
+    assert abs(float(res.X[0, -1]) - np.pi) < 0.2
+    assert abs(float(res.X[1, -1])) < 0.05
+
+
+def test_cartpole_swing_up():
+    plant = CartPolePlant()
+    N, dt = 50, 0.05
+    cost = QuadraticCost(jnp.diag(jnp.array([0.1, 1.0, 0.1, 0.1])),
+                         100.0 * jnp.eye(4), 0.01 * jnp.eye(1),
+                         jnp.array([0.0, np.pi, 0.0, 0.0]))
+    solver = make_ilqr(plant, cost, None, N, dt)
+    res = jax.jit(solver.solve)(jnp.zeros((4, N)), 0.01 * jnp.ones((1, N - 1)))
+    assert int(res.exit_ilqr) == 1
+    assert abs(float(res.X[1, -1]) - np.pi) < 0.2
+
+
+def test_double_integrator_matches_lqr():
+    """On an LQR problem iLQR must converge in ~1 iteration to the exact
+    QP solution, identical to SQP's."""
+    plant = DoubleIntegratorPlant()
+    N, dt = 12, 0.1
+    cost = QuadraticCost(jnp.eye(2), 10.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([1.0, 0.0]))
+    x0 = jnp.zeros((2, N))
+    u0 = jnp.zeros((1, N - 1))
+    # near-zero regularization so the one-step solutions are exact LQR
+    opts = SQPOptions(rho_init=1e-10, rho_min=1e-10)
+    ilqr = make_ilqr(plant, cost, None, N, dt, options=opts)
+    sqp = make_sqp(plant, cost, None, N, dt, method="N", options=opts)
+    ri = jax.jit(ilqr.solve)(x0, u0)
+    rs = jax.jit(sqp.solve)(x0, u0)
+    # both sit on the exit-tolerance plateau around the optimum
+    np.testing.assert_allclose(np.asarray(ri.U), np.asarray(rs.U), atol=1e-3)
+    assert abs(float(ri.J) - float(rs.J)) < 1e-5
+    # the exact QP optimum: one dense-KKT Newton step from the zero iterate
+    blocks = sqp.kkt.form_blocks(x0, u0, x0[:, 0], cost.default_params,
+                                 sqp.cset.init_state())
+    dxu, _, _ = sqp.kkt.solve_dense(blocks, 0.0)
+    U_star = -dxu[:-1, 2:].T
+    np.testing.assert_allclose(np.asarray(ri.U), np.asarray(U_star), atol=1e-3)
+
+
+def test_agrees_with_sqp_on_arm():
+    """Smooth unconstrained arm problem: same local optimum as SQP."""
+    robot = serial_arm(2)
+    plant = URDFPlant(robot=robot)
+    N, dt = 10, 0.1
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    opts = SQPOptions(expected_reduction_min=-100.0)
+    ilqr = make_ilqr(plant, cost, None, N, dt, options=opts)
+    sqp = make_sqp(plant, cost, None, N, dt, method="S", options=opts)
+    ri = jax.jit(ilqr.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+    rs = jax.jit(sqp.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+    assert abs(float(ri.J) - float(rs.J)) < 1e-4
+    kin = make_kinematics(robot)
+    ee = kin.ee_pos_xyz(ri.X[:2, -1])[:2]
+    assert np.linalg.norm(np.asarray(ee) - np.array([0.5, 1.5])) < 0.1
+
+
+def test_soft_constraints_respected():
+    plant = PendulumPlant()
+    N, dt = 20, 0.1
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    cset = C.ConstraintSet(1, 1, 1, N).with_torque_limits(
+        7.0, -7.0, "AUGMENTED_LAGRANGIAN")
+    solver = make_ilqr(plant, cost, cset, N, dt)
+    res = jax.jit(solver.solve)(jnp.zeros((2, N)), jnp.zeros((1, N - 1)))
+    assert float(jnp.max(jnp.abs(res.U))) < 7.0 + 1e-2
+
+
+def test_hard_constraints_rejected():
+    plant = PendulumPlant()
+    N = 10
+    cost = QuadraticCost(jnp.eye(2), jnp.eye(2), jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    cset = C.ConstraintSet(1, 1, 1, N).with_torque_limits(
+        7.0, -7.0, "ACTIVE_SET")
+    solver = make_ilqr(plant, cost, cset, N, 0.1)
+    with pytest.raises(ValueError, match="soft"):
+        solver.solve(jnp.zeros((2, N)), jnp.zeros((1, N - 1)))
+
+
+def test_vmap_batch_of_goals():
+    """The scenario-batching axis: vmap over goal positions."""
+    plant = PendulumPlant()
+    N, dt = 20, 0.1
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    solver = make_ilqr(plant, cost, None, N, dt)
+    goals = jnp.stack([jnp.array([th, 0.0]) for th in (2.5, 3.0, np.pi)])
+
+    def solve_goal(xg):
+        p = cost.default_params._replace(xg=xg)
+        return solver.solve(jnp.zeros((2, N)), jnp.zeros((1, N - 1)),
+                            cost_params=p)
+
+    res = jax.jit(jax.vmap(solve_goal))(goals)
+    assert res.X.shape == (3, 2, N)
+    for i, th in enumerate((2.5, 3.0, np.pi)):
+        assert abs(float(res.X[i, 0, -1]) - th) < 0.25

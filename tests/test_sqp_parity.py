@@ -1,0 +1,113 @@
+"""Golden-parity tests: our SQP vs the reference implementation's output.
+
+The fixtures in tests/golden/*.npz were produced by running the reference
+(VCA-EPFL/TrajoptMPCReference) via tests/golden/generate.py on the 2-link
+arm task-space problem (the reference's only working configuration — see
+notes below).  Our solver must reproduce the reference's control sequences
+to <= 1e-4 (BASELINE.json requires 1e-4; we match to ~1e-12 because with
+ref_compat=True the iterates are identical in exact arithmetic).
+
+Notes on what CAN'T have goldens (all verified against the snapshot):
+  * Canonical plants (pendulum/cartpole/double integrator): dropped from the
+    snapshot (ref: __init__.py:1 imports classes that no longer exist).
+  * Constrained solves: BoxConstraint.value builds a (2, s) matrix via
+    np.vstack((delta_lb, delta_ub)) and dots it with a (2s,) mu vector
+    (ref: TrajoptConstraint.py:57-81), which raises for s >= 2; every
+    surviving plant has nq = nv = nu >= 2, so no constrained configuration
+    is runnable in the reference.  Constraint semantics are instead
+    unit-tested against the reference formulas in test_constraints.py.
+  * PCG-SS end-to-end: the reference run exits at max_iter (exit 3) with a
+    long tail of line-search failures — its PCG solves are inexact and the
+    SQP iterates become chaotic, so bit-parity is not meaningful; we check
+    behavioral parity (final cost / violation) plus exact linear-solver
+    parity at the PCG level (test_btridiag.py).
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptmpcreference_tpu.models.plants import URDFPlant
+from trajoptmpcreference_tpu.models.urdf import serial_arm
+from trajoptmpcreference_tpu.solvers.costs import UrdfCost
+from trajoptmpcreference_tpu.solvers.sqp import make_sqp, SQPOptions
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+N, DT = 10, 0.1
+
+
+def _solver(method):
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(
+        plant,
+        jnp.diag(jnp.array([1.0, 1.0, 1.0, 1.0])),
+        jnp.diag(jnp.array([100.0] * 4)),
+        0.1 * jnp.eye(2),
+        jnp.array([0.5, 1.5, 0.0, 0.0]),
+        ref_compat=True,
+    )
+    # the reference's own working driver disables the lower reduction check
+    # (ref: examples/twolinks.py:87)
+    opts = SQPOptions(expected_reduction_min=-100.0)
+    return make_sqp(plant, cost, None, N, DT, method=method, options=opts)
+
+
+@pytest.mark.parametrize("method,fixture", [
+    ("N", "arm2_N"),
+    ("S", "arm2_S"),
+])
+def test_controls_match_reference(method, fixture):
+    gold = np.load(GOLDEN / f"{fixture}.npz")
+    solver = _solver(method)
+    res = jax.jit(solver.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+    assert int(res.exit_sqp) == int(gold["exit_sqp"])
+    assert int(res.exit_soft) == int(gold["exit_soft"])
+    np.testing.assert_allclose(np.asarray(res.U), gold["u"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.X), gold["x"], atol=1e-4)
+    # we actually track the reference iterates to roundoff
+    assert np.abs(np.asarray(res.U) - gold["u"]).max() < 1e-9
+
+
+def test_pcg_behavioral_parity():
+    """PCG-SS: same problem, same final accuracy class as the reference
+    (exact-iterate parity is meaningless; see module docstring)."""
+    gold = np.load(GOLDEN / "arm2_PCG_SS.npz")
+    solver = _solver("PCG-SS")
+    res = jax.jit(solver.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+    # reference final cost on this problem
+    ref_solver = _solver("S")
+    cost_of = lambda X, U: float(ref_solver.total_cost(
+        jnp.asarray(X), jnp.asarray(U), ref_solver.cost.default_params,
+        ref_solver.cset.init_state()))
+    J_gold = cost_of(gold["x"], gold["u"])
+    J_ours = float(res.J)
+    # Both land in the same inexact-PCG regime slightly above the exact-Schur
+    # optimum (J* ~ 4.022; reference PCG ~4.036): require the same accuracy
+    # class, not bit parity.
+    assert J_ours <= J_gold + 0.05
+
+
+def test_correct_gradient_beats_reference():
+    """Without ref_compat (correct dJdq), the solver must find a solution at
+    least as good as the reference's (whose task-space gradient carries a
+    dJ[1,0]/dq sign error, ref: RBDReference.py:264)."""
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(
+        plant,
+        jnp.diag(jnp.array([1.0, 1.0, 1.0, 1.0])),
+        jnp.diag(jnp.array([100.0] * 4)),
+        0.1 * jnp.eye(2),
+        jnp.array([0.5, 1.5, 0.0, 0.0]),
+    )
+    opts = SQPOptions(expected_reduction_min=-100.0)
+    solver = make_sqp(plant, cost, None, N, DT, method="S", options=opts)
+    res = jax.jit(solver.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+    gold = np.load(GOLDEN / "arm2_S.npz")
+    cost_of = lambda X, U: float(solver.total_cost(
+        jnp.asarray(X), jnp.asarray(U), cost.default_params,
+        solver.cset.init_state()))
+    assert float(res.J) < cost_of(gold["x"], gold["u"])

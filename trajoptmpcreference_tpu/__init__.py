@@ -17,7 +17,7 @@ pointing into the reference checkout (not copied; re-derived TPU-first).
 __version__ = "0.1.0"
 
 from trajoptmpcreference_tpu.models.robot import RobotModel
-from trajoptmpcreference_tpu.models.urdf import parse_urdf
+from trajoptmpcreference_tpu.models.urdf import parse_urdf, serial_arm
 from trajoptmpcreference_tpu.models.plants import (
     Plant,
     URDFPlant,
@@ -25,13 +25,46 @@ from trajoptmpcreference_tpu.models.plants import (
     PendulumPlant,
     CartPolePlant,
 )
+from trajoptmpcreference_tpu.solvers.costs import (
+    ArmCost,
+    Cost,
+    NumericalCost,
+    QuadraticCost,
+    UrdfCost,
+)
+from trajoptmpcreference_tpu.solvers.constraints import ConstraintSet
+from trajoptmpcreference_tpu.solvers.sqp import (
+    SQPOptions,
+    SQPResult,
+    SQPSolver,
+    make_sqp,
+)
+from trajoptmpcreference_tpu.solvers.ilqr import ILQRResult, ILQRSolver, make_ilqr
+from trajoptmpcreference_tpu.solvers.mpc import MPCController, MPCResult, make_mpc
 
 __all__ = [
     "RobotModel",
     "parse_urdf",
+    "serial_arm",
     "Plant",
     "URDFPlant",
     "DoubleIntegratorPlant",
     "PendulumPlant",
     "CartPolePlant",
+    "ArmCost",
+    "Cost",
+    "NumericalCost",
+    "QuadraticCost",
+    "UrdfCost",
+    "ConstraintSet",
+    "SQPOptions",
+    "SQPResult",
+    "SQPSolver",
+    "make_sqp",
+    "ILQRResult",
+    "ILQRSolver",
+    "make_ilqr",
+    "MPCController",
+    "MPCResult",
+    "make_mpc",
 ]

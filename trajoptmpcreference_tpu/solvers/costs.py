@@ -89,7 +89,7 @@ def QuadraticCost(Q, QF, R, xg, QF_start: Optional[int] = None) -> Cost:
 
 
 def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
-             hess_mode: int = 0) -> Cost:
+             hess_mode: int = 0, ref_compat: bool = False) -> Cost:
     """Task-space cost on [ee position; ee velocity] for a URDF arm
     (ref: TrajoptCost.py:371-569).
 
@@ -104,6 +104,13 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
          hand-built dJtotdq tensor, which is 2-link-specific)
       2: grad^T grad outer product
       3: zero state Hessian
+
+    ref_compat (2-link only): reproduce the reference's hand-coded dJdq
+    shortcut (ref: RBDReference.py:256-266) *including its sign error* on the
+    d J[1,0]/dq row (the reference writes ``dJdq[2,:] = -J[0,:]`` where the
+    true derivative is ``+J[0,:]``; verified by finite differences).  The
+    default (False) uses the correct general-n total-state Jacobian; compat
+    exists so golden-parity tests can match the reference's iterates exactly.
     """
     if plant.kinematics is None:
         raise ValueError("UrdfCost requires a URDF plant with kinematics")
@@ -111,6 +118,9 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
     n = plant.nq
     nx = plant.nx
     nu = plant.nu
+    if ref_compat and n != 2:
+        raise ValueError("ref_compat reproduces the reference's 2-link-only "
+                         "dJdq shortcut (ref: RBDReference.py:256-266)")
     Q = jnp.asarray(Q)
     QF = jnp.asarray(QF)
     R = jnp.asarray(R)
@@ -133,9 +143,26 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
         dx = delta_x(p, x)
         return 0.5 * dx @ p.QF @ dx
 
+    def _jt(q, qd):
+        if not ref_compat:
+            return kin.jacobian_tot_state(q, qd)     # (2k, 2n)
+        # reference 2-link shortcut, incl. its dJ[1,0]/dq sign
+        # (ref: RBDReference.py:256-266, 318-336)
+        J = kin.jacobian(q)                          # (2, 2)
+        D = jnp.stack([
+            -J[1, :],
+            jnp.stack([-J[1, 1], -J[1, 1]]),
+            -J[0, :],
+            jnp.stack([J[0, 1], J[0, 1]]),
+        ])                                           # (4, 2)
+        J2 = (D @ qd).reshape(2, 2)
+        top = jnp.concatenate([J, jnp.zeros_like(J)], axis=1)
+        bot = jnp.concatenate([J2, J], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
     def _grad_x(p, x, cQ):
         q, qd = x[:n], x[n:]
-        Jt = kin.jacobian_tot_state(q, qd)           # (2k, 2n)
+        Jt = _jt(q, qd)                              # (2k, 2n)
         return (delta_x(p, x) @ cQ) @ Jt             # (2n,)
 
     def stage_gradient(p, x, u, k):
@@ -148,7 +175,7 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
     def _hess_x(p, x, cQ):
         q, qd = x[:n], x[n:]
         if hess_mode == 0:
-            Jt = kin.jacobian_tot_state(q, qd)
+            Jt = _jt(q, qd)
             return (cQ @ Jt).T @ Jt
         elif hess_mode == 1:
             return jax.jacfwd(lambda xx: _grad_x(p, xx, cQ))(x)

@@ -1,0 +1,318 @@
+"""iLQR / DDP trajectory optimizer: scan-based Riccati passes, jit/vmap-able.
+
+The reference advertises iLQR (ref: README.md:17, MPCSolverMethods enum
+``TrajoptMPCReference.py:21-27``) but the solver itself was dropped from the
+VCA-EPFL snapshot; this is a from-scratch TPU-native implementation built to
+the upstream capability description: iLQR with soft constraints only
+(ref: README.md:17), sharing the SQP driver's regularization schedule, exit
+codes, and soft-constraint outer loop (ref: TrajoptMPCReference.py:457-508).
+
+TPU-first design:
+  * linearization of all N-1 knots is ONE vmap (batched small matmuls on the
+    MXU), not a Python loop;
+  * the Riccati backward pass is a ``lax.scan`` over knots carrying
+    (Vx, Vxx); the feedback rollout is a forward ``lax.scan``;
+  * the line search is a ``lax.while_loop`` over the alpha ladder;
+  * the whole solve is a pure function of (x0, u0, params) — vmap it over
+    thousands of scenarios, shard_map it over a mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from trajoptmpcreference_tpu.models.plants import Plant
+from trajoptmpcreference_tpu.solvers import constraints as C
+from trajoptmpcreference_tpu.solvers.costs import Cost
+from trajoptmpcreference_tpu.solvers.sqp import (
+    EXIT_MAX_ITER,
+    EXIT_RHO_MAX,
+    EXIT_SOFT_CONVERGED,
+    EXIT_SOFT_MAX_ITER,
+    EXIT_SOFT_MU_LIMIT,
+    EXIT_TOL,
+    SQPOptions,
+)
+
+
+class ILQRResult(NamedTuple):
+    X: jnp.ndarray            # (nx, N)
+    U: jnp.ndarray            # (nu, N-1)
+    K: jnp.ndarray            # (N-1, nu, nx) final feedback gains (MPC reuse)
+    exit_ilqr: jnp.ndarray
+    exit_soft: jnp.ndarray
+    outer_iters: jnp.ndarray
+    iters: jnp.ndarray
+    J: jnp.ndarray
+    cstate: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRSolver:
+    plant: Plant
+    cost: Cost
+    cset: C.ConstraintSet
+    N: int
+    dt: float
+    options: SQPOptions
+
+    # ------------------------------------------------------------- helpers
+    def total_cost(self, X, U, cost_params, cstate):
+        """Stage + terminal cost, soft penalties included
+        (ref: TrajoptMPCReference.py:296-310)."""
+        ks = jnp.arange(self.N - 1)
+        stage = jax.vmap(lambda x, u, k: self.cost.stage_value(cost_params, x, u, k))
+        J = jnp.sum(stage(X[:, :-1].T, U.T, ks))
+        J = J + self.cost.term_value(cost_params, X[:, -1], jnp.asarray(self.N - 1))
+        if self.cset.has_soft():
+            soft = jax.vmap(lambda x, u, k: C.stage_soft_value(self.cset, cstate, x, u, k))
+            J = J + jnp.sum(soft(X[:, :-1].T, U.T, ks))
+            J = J + C.term_soft_value(self.cset, cstate, X[:, -1], jnp.asarray(self.N - 1))
+        return J
+
+    def _expansions(self, X, U, cost_params, cstate):
+        """Batched linearization + cost expansion at every knot."""
+        ks = jnp.arange(self.N - 1)
+
+        def stage(x, u, k):
+            A, B = self.plant.step_gradient(x, u, self.dt)
+            g = self.cost.stage_gradient(cost_params, x, u, k)
+            H = self.cost.stage_hessian(cost_params, x, u, k)
+            if self.cset.has_soft():
+                gc = C.stage_soft_jacobian(self.cset, cstate, x, u, k)
+                g = g + gc
+                H = H + jnp.outer(gc, gc)   # GN soft term, as the SQP path
+            return A, B, g, H
+
+        A, B, g, H = jax.vmap(stage)(X[:, :-1].T, U.T, ks)
+        kN = jnp.asarray(self.N - 1)
+        gN = self.cost.term_gradient(cost_params, X[:, -1], kN)
+        HN = self.cost.term_hessian(cost_params, X[:, -1], kN)
+        if self.cset.has_soft():
+            gcN = C.term_soft_jacobian(self.cset, cstate, X[:, -1], kN)
+            gN = gN + gcN
+            HN = HN + jnp.outer(gcN, gcN)
+        return A, B, g, H, gN, HN
+
+    # ------------------------------------------------------- backward pass
+    def backward(self, A, B, g, H, gN, HN, rho):
+        """Riccati recursion as a reverse lax.scan.
+
+        Returns (K (N-1,nu,nx), kff (N-1,nu), dv1, dv2, diverged).
+        Regularization: rho added to Quu (Levenberg-style), matching the
+        SQP path's G + rho*I (ref: TrajoptMPCReference.py:334-348).
+        """
+        nx, nu = self.plant.nx, self.plant.nu
+        dtype = A.dtype
+
+        def step(carry, inp):
+            Vx, Vxx, dv1, dv2, bad = carry
+            Ak, Bk, gk, Hk = inp
+            gx, gu = gk[:nx], gk[nx:]
+            Hxx = Hk[:nx, :nx]
+            Huu = Hk[nx:, nx:]
+            Hux = Hk[nx:, :nx]
+            Qx = gx + Ak.T @ Vx
+            Qu = gu + Bk.T @ Vx
+            Qxx = Hxx + Ak.T @ Vxx @ Ak
+            Quu = Huu + Bk.T @ Vxx @ Bk + rho * jnp.eye(nu, dtype=dtype)
+            Qux = Hux + Bk.T @ Vxx @ Ak
+            # solve the (nu, nu) system for gains; flag non-PD via Cholesky
+            L, low = jax.scipy.linalg.cho_factor(Quu, lower=True)
+            diag_ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.diag(L) > 0)
+            Kk = jax.scipy.linalg.cho_solve((L, low), Qux)
+            kk = jax.scipy.linalg.cho_solve((L, low), Qu)
+            Vx1 = Qx - Qux.T @ kk
+            Vxx1 = Qxx - Qux.T @ Kk
+            Vxx1 = 0.5 * (Vxx1 + Vxx1.T)
+            dv1 = dv1 + Qu @ kk
+            dv2 = dv2 + kk @ Quu @ kk
+            bad = bad | ~diag_ok
+            return (Vx1, Vxx1, dv1, dv2, bad), (Kk, kk)
+
+        init = (gN, HN, jnp.zeros((), dtype), jnp.zeros((), dtype),
+                jnp.array(False))
+        (Vx, Vxx, dv1, dv2, bad), (K, kff) = jax.lax.scan(
+            step, init, (A, B, g, H), reverse=True)
+        return K, kff, dv1, dv2, bad
+
+    # -------------------------------------------------------- forward pass
+    def rollout(self, X, U, K, kff, alpha):
+        """Feedback rollout x' = f(x', u - alpha*kff - K (x' - x))."""
+
+        def step(xk_new, inp):
+            xk, uk, Kk, kk = inp
+            u_new = uk - alpha * kk - Kk @ (xk_new - xk)
+            x_next = self.plant.step(xk_new, u_new, self.dt)
+            return x_next, (xk_new, u_new)
+
+        xN, (Xs, Us) = jax.lax.scan(step, X[:, 0], (X[:, :-1].T, U.T, K, kff))
+        X_new = jnp.concatenate([Xs.T, xN[:, None]], axis=1)
+        return X_new, Us.T
+
+    # ----------------------------------------------------------- main loop
+    def ilqr_round(self, X, U, cost_params, cstate):
+        o = self.options
+        dtype = X.dtype
+        nx, nu = self.plant.nx, self.plant.nu
+        J0 = self.total_cost(X, U, cost_params, cstate)
+
+        class S(NamedTuple):
+            X: jnp.ndarray
+            U: jnp.ndarray
+            K: jnp.ndarray
+            J: jnp.ndarray
+            rho: jnp.ndarray
+            drho: jnp.ndarray
+            it: jnp.ndarray
+            exit_code: jnp.ndarray
+            done: jnp.ndarray
+
+        def line_search(X, U, K, kff, dv1, dv2, J):
+            class LS(NamedTuple):
+                alpha: jnp.ndarray
+                done: jnp.ndarray
+                accepted: jnp.ndarray
+                Xc: jnp.ndarray
+                Uc: jnp.ndarray
+                J_new: jnp.ndarray
+
+            def body(s: LS) -> LS:
+                Xc, Uc = self.rollout(X, U, K, kff, s.alpha)
+                J_new = self.total_cost(Xc, Uc, cost_params, cstate)
+                # model reduction for u' = u - alpha*kff: J - J' ~
+                # alpha * Qu.kff - alpha^2/2 * kff.Quu.kff  (> 0 descent)
+                expected = s.alpha * dv1 - 0.5 * s.alpha * s.alpha * dv2
+                ratio = (J - J_new) / expected
+                ok = ((J_new <= J)
+                      & (ratio >= o.expected_reduction_min)
+                      & (ratio <= o.expected_reduction_max))
+                can_retry = s.alpha > o.alpha_min
+                done = ok | ~can_retry
+                next_alpha = jnp.where(done, s.alpha, s.alpha * o.alpha_factor)
+                return LS(next_alpha, done, ok, Xc, Uc, J_new)
+
+            init = LS(jnp.asarray(1.0, dtype), jnp.array(False),
+                      jnp.array(False), X, U, J)
+            return jax.lax.while_loop(lambda s: ~s.done, body, init)
+
+        def body(s: S) -> S:
+            A, B, g, H, gN, HN = self._expansions(s.X, s.U, cost_params, cstate)
+            K, kff, dv1, dv2, bad_bp = self.backward(A, B, g, H, gN, HN, s.rho)
+            # Newton-decrement convergence: the model predicts no meaningful
+            # reduction — stop before the line search can thrash
+            converged = (dv1 < o.exit_tolerance) & ~bad_bp
+            ls = line_search(s.X, s.U, K, kff, dv1, dv2, s.J)
+            accepted = ls.accepted & ~bad_bp & ~converged
+            error = ~accepted
+            X1 = jnp.where(accepted, ls.Xc, s.X)
+            U1 = jnp.where(accepted, ls.Uc, s.U)
+            J1 = jnp.where(accepted, ls.J_new, s.J)
+            drho_ok = jnp.minimum(s.drho / o.rho_factor, 1.0 / o.rho_factor)
+            rho_ok = jnp.maximum(s.rho * drho_ok, o.rho_min)
+            drho_err = jnp.maximum(s.drho * o.rho_factor, o.rho_factor)
+            rho_err = jnp.maximum(s.rho * drho_err, o.rho_min)
+            rho1 = jnp.where(accepted, rho_ok, rho_err)
+            drho1 = jnp.where(accepted, drho_ok, drho_err)
+            delta_J = s.J - ls.J_new
+            exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
+            exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
+                                  EXIT_TOL, exit_code)
+            exit_code = jnp.where(converged, EXIT_TOL, exit_code)
+            hit_max = s.it == (o.max_iter - 1)
+            exit_code = jnp.where(hit_max, EXIT_MAX_ITER, exit_code)
+            done = exit_code > 0
+            it1 = jnp.where(done, s.it, s.it + 1)
+            return S(X=X1, U=U1, K=K, J=J1, rho=rho1, drho=drho1, it=it1,
+                     exit_code=exit_code, done=done)
+
+        init = S(X=X, U=U, K=jnp.zeros((self.N - 1, nu, nx), dtype),
+                 J=J0, rho=jnp.asarray(o.rho_init, dtype),
+                 drho=jnp.asarray(1.0, dtype), it=jnp.array(0),
+                 exit_code=jnp.array(0), done=jnp.array(False))
+        out = jax.lax.while_loop(lambda s: ~s.done, body, init)
+        return out.X, out.U, out.K, out.exit_code, out.it, out.J
+
+    # ----------------------------------------------------------- full solve
+    def solve(self, x0, u0, cost_params=None, cstate=None) -> ILQRResult:
+        """iLQR with the soft-constraint outer loop (soft only, per
+        ref: README.md:17; hard constraints are not supported by iLQR)."""
+        o = self.options
+        cost_params = self.cost.default_params if cost_params is None else cost_params
+        if cstate is None:
+            cstate = self.cset.init_state(dtype=x0.dtype)
+        if self.cset.has_hard():
+            raise ValueError("iLQR supports soft constraints only "
+                             "(ref: README.md:17)")
+
+        # iLQR is single-shooting: make the initial trajectory dynamically
+        # consistent by rolling the warm-start controls out from x0[:, 0]
+        # (essential for receding-horizon warm starts, where the plan head
+        # is overwritten with the measured state)
+        def _ro(xk, uk):
+            xn = self.plant.step(xk, uk, self.dt)
+            return xn, xn
+
+        _, Xtail = jax.lax.scan(_ro, x0[:, 0], u0.T)
+        x0 = jnp.concatenate([x0[:, :1], Xtail.T], axis=1)
+
+        class SoftS(NamedTuple):
+            X: jnp.ndarray
+            U: jnp.ndarray
+            K: jnp.ndarray
+            cstate: Any
+            outer_it: jnp.ndarray
+            exit_soft: jnp.ndarray
+            exit_ilqr: jnp.ndarray
+            iters: jnp.ndarray
+            J: jnp.ndarray
+            done: jnp.ndarray
+
+        def body(s: SoftS) -> SoftS:
+            X1, U1, K1, exit_ilqr, iters, J = self.ilqr_round(
+                s.X, s.U, cost_params, s.cstate)
+            max_c = C.max_soft_violation(self.cset, s.cstate, X1, U1)
+            exit_soft = jnp.where(max_c < o.exit_tolerance_soft,
+                                  EXIT_SOFT_CONVERGED, 0)
+            hit_max = s.outer_it == (o.max_iter_soft - 1)
+            exit_soft = jnp.where(hit_max, EXIT_SOFT_MAX_ITER, exit_soft)
+            exiting = exit_soft > 0
+            new_cstate, mu_at_limit = C.update_all_soft(self.cset, s.cstate, X1, U1)
+            cstate1 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(exiting, old, new), new_cstate, s.cstate)
+            exit_soft = jnp.where(~exiting & mu_at_limit,
+                                  EXIT_SOFT_MU_LIMIT, exit_soft)
+            done = exit_soft > 0
+            outer_it1 = jnp.where(hit_max | done, s.outer_it, s.outer_it + 1)
+            return SoftS(X=X1, U=U1, K=K1, cstate=cstate1, outer_it=outer_it1,
+                         exit_soft=exit_soft, exit_ilqr=exit_ilqr,
+                         iters=iters, J=J, done=done)
+
+        dtype = x0.dtype
+        nx, nu = self.plant.nx, self.plant.nu
+        init = SoftS(X=x0, U=u0, K=jnp.zeros((self.N - 1, nu, nx), dtype),
+                     cstate=cstate, outer_it=jnp.array(0),
+                     exit_soft=jnp.array(0), exit_ilqr=jnp.array(0),
+                     iters=jnp.array(0), J=jnp.zeros((), dtype),
+                     done=jnp.array(False))
+        out = jax.lax.while_loop(lambda s: ~s.done, body, init)
+        return ILQRResult(X=out.X, U=out.U, K=out.K, exit_ilqr=out.exit_ilqr,
+                          exit_soft=out.exit_soft, outer_iters=out.outer_it,
+                          iters=out.iters, J=out.J, cstate=out.cstate)
+
+
+def make_ilqr(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
+              N: int, dt: float,
+              options: Optional[SQPOptions] = None) -> ILQRSolver:
+    """Build a jit-specialized iLQR solver (restores the capability the
+    VCA-EPFL snapshot dropped; ref: README.md:17, MPCSolverMethods
+    ``TrajoptMPCReference.py:21-27``)."""
+    if cset is None:
+        cset = C.ConstraintSet(plant.nq, plant.nv, plant.nu, N)
+    options = options or SQPOptions()
+    return ILQRSolver(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
+                      options=options)

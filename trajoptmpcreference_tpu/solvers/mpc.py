@@ -1,0 +1,154 @@
+"""Receding-horizon MPC loop: warm-started re-solves at control rate.
+
+The reference advertises an MPC loop (``runMPCExample`` is called by
+ref: examples/pendulum.py:28 and ``MPCSolverMethods`` lists iLQR / QP-N /
+QP-S / QP-PCG-{J,BJ,SS}, ref: TrajoptMPCReference.py:21-27) but the loop
+itself was dropped from the VCA-EPFL snapshot.  This is a from-scratch
+TPU-native implementation of that capability built from the surviving
+warm-start hooks:
+
+  * trajectory shift between steps (standard receding horizon);
+  * soft-constraint hyperparameter shift
+    (ref: TrajoptConstraint.py:168-176, shift_soft_constraint_constants —
+    NB the reference's in-place version overwrites columns ``shift:`` with
+    init values, wiping everything but column 0; ours shifts correctly);
+  * PCG / KKT multiplier warm start (ref: PCG.py:33 update_guess,
+    TrajoptMPCReference.py:439-440).
+
+TPU-first design: the whole closed-loop simulation is ONE ``lax.scan`` over
+control steps — solver + plant rollout stay on-device, so an entire MPC
+episode is a single XLA program, vmappable over thousands of scenarios and
+shardable over a mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from trajoptmpcreference_tpu.models.plants import Plant
+from trajoptmpcreference_tpu.solvers import constraints as C
+from trajoptmpcreference_tpu.solvers.costs import Cost
+from trajoptmpcreference_tpu.solvers.ilqr import ILQRSolver, make_ilqr
+from trajoptmpcreference_tpu.solvers.sqp import SQPOptions, SQPSolver, make_sqp
+
+MPC_METHODS = ("iLQR", "QP-N", "QP-S", "QP-PCG-J", "QP-PCG-BJ", "QP-PCG-SS")
+
+
+class MPCResult(NamedTuple):
+    """Closed-loop episode results; leading axis = control steps."""
+
+    X_applied: jnp.ndarray    # (nx, steps+1) actual closed-loop states
+    U_applied: jnp.ndarray    # (nu, steps) applied first controls
+    J_solve: jnp.ndarray      # (steps,) cost reported by each solve
+    iters: jnp.ndarray        # (steps,) solver iterations per step
+    exit_codes: jnp.ndarray   # (steps,) per-solve exit code
+    X_plan_last: jnp.ndarray  # (nx, N) final plan (warm-start state)
+    U_plan_last: jnp.ndarray  # (nu, N-1)
+
+
+def _shift_plan(X, U, shift: int):
+    """Receding-horizon warm start: drop the first ``shift`` knots, repeat
+    the terminal knot / last control."""
+    Xs = jnp.roll(X, -shift, axis=1)
+    Us = jnp.roll(U, -shift, axis=1)
+    NX = X.shape[1]
+    NU = U.shape[1]
+    colsX = jnp.arange(NX)
+    colsU = jnp.arange(NU)
+    Xs = jnp.where(colsX[None, :] < NX - shift, Xs, X[:, -1:])
+    Us = jnp.where(colsU[None, :] < NU - shift, Us, U[:, -1:])
+    return Xs, Us
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCController:
+    """A receding-horizon controller around an SQP or iLQR solver."""
+
+    solver: Union[SQPSolver, ILQRSolver]
+    sim_plant: Plant          # the "true" plant used to propagate the state
+    shift: int = 1
+
+    @property
+    def plant(self) -> Plant:
+        return self.solver.plant
+
+    def run(self, x0: jnp.ndarray, steps: int,
+            X_init: Optional[jnp.ndarray] = None,
+            U_init: Optional[jnp.ndarray] = None,
+            cost_params: Any = None) -> MPCResult:
+        """Simulate ``steps`` control steps of closed-loop MPC from state x0.
+
+        Each step: solve the horizon problem warm-started from the shifted
+        previous plan, apply the first control to ``sim_plant``, advance.
+        """
+        solver = self.solver
+        N = solver.N
+        dt = solver.dt
+        nx, nu = self.plant.nx, self.plant.nu
+        dtype = x0.dtype
+        is_sqp = isinstance(solver, SQPSolver)
+        cost_params = (solver.cost.default_params
+                       if cost_params is None else cost_params)
+
+        X0 = (jnp.tile(x0[:, None], (1, N)) if X_init is None else X_init)
+        U0 = (jnp.zeros((nu, N - 1), dtype=dtype) if U_init is None
+              else U_init)
+        cstate0 = solver.cset.init_state(dtype=dtype)
+        lam0 = (jnp.zeros((N, solver.kkt.bs), dtype=dtype) if is_sqp
+                else jnp.zeros((0,), dtype=dtype))
+
+        def step(carry, _):
+            x, Xp, Up, cstate, lam = carry
+            # current state enters the plan head
+            Xp = Xp.at[:, 0].set(x)
+            if is_sqp:
+                res = solver.solve(Xp, Up, cost_params=cost_params,
+                                   cstate=cstate, guess=lam)
+                it, code, lam1 = res.sqp_iters, res.exit_sqp, res.lam
+            else:
+                res = solver.solve(Xp, Up, cost_params=cost_params,
+                                   cstate=cstate)
+                it, code, lam1 = res.iters, res.exit_ilqr, lam
+            u0 = res.U[:, 0]
+            x1 = self.sim_plant.step(x, u0, dt)
+            Xs, Us = _shift_plan(res.X, res.U, self.shift)
+            cstate1 = C.shift_all_soft(solver.cset, res.cstate, self.shift)
+            lam_s = (jnp.roll(lam1, -self.shift, axis=0) if is_sqp else lam1)
+            return ((x1, Xs, Us, cstate1, lam_s),
+                    (x1, u0, res.J, it, code))
+
+        (xf, Xp, Up, _, _), (Xs, Us, Js, its, codes) = jax.lax.scan(
+            step, (x0, X0, U0, cstate0, lam0), None, length=steps)
+        X_applied = jnp.concatenate([x0[:, None], Xs.T], axis=1)
+        return MPCResult(X_applied=X_applied, U_applied=Us.T, J_solve=Js,
+                         iters=its, exit_codes=codes,
+                         X_plan_last=Xp, U_plan_last=Up)
+
+
+def make_mpc(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
+             N: int, dt: float, method: str = "QP-S",
+             options: Optional[SQPOptions] = None,
+             sim_plant: Optional[Plant] = None,
+             shift: int = 1) -> MPCController:
+    """Build a receding-horizon MPC controller (the capability behind the
+    reference's ``MPCSolverMethods`` enum, ref: TrajoptMPCReference.py:21-27,
+    and the missing ``runMPCExample`` called by examples/pendulum.py:28).
+
+    method: 'iLQR' or 'QP-X' with X in {N, S, PCG-J, PCG-BJ, PCG-SS}.
+    sim_plant: optional distinct "true" plant (model-mismatch studies);
+    defaults to the solver plant.
+    """
+    if method not in MPC_METHODS:
+        raise ValueError(f"Invalid MPC method {method!r}; options are "
+                         f"{MPC_METHODS} (ref: TrajoptMPCReference.py:21-27)")
+    if method == "iLQR":
+        solver = make_ilqr(plant, cost, cset, N, dt, options=options)
+    else:
+        solver = make_sqp(plant, cost, cset, N, dt, method=method[3:],
+                          options=options)
+    return MPCController(solver=solver, sim_plant=sim_plant or plant,
+                         shift=shift)

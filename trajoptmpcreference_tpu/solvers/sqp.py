@@ -70,6 +70,8 @@ class SQPResult(NamedTuple):
     J: jnp.ndarray            # final cost
     viol: jnp.ndarray         # final hard-constraint violation
     cstate: Any               # final soft-constraint hyperparameters
+    lam: jnp.ndarray          # (N, bs) last multipliers (PCG warm-start hook,
+                              # ref: PCG.py:33, TrajoptMPCReference.py:439-440)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,15 +204,16 @@ class SQPSolver:
         return out
 
     # ------------------------------------------------------------ SQP loop
-    def sqp_round(self, X, U, xs, cost_params, cstate):
+    def sqp_round(self, X, U, xs, cost_params, cstate, guess0=None):
         """One inner SQP solve (the reference's main loop, ref: :571-750).
-        Returns (X, U, exit_code, iters, J, c)."""
+        Returns (X, U, exit_code, iters, J, c, lam)."""
         o = self.options
         dtype = X.dtype
         J0 = self.total_cost(X, U, cost_params, cstate)
         c0 = self.total_violation(X, U, xs)
         merit0 = J0 + o.merit_mu * c0
-        guess0 = jnp.zeros((self.N, self.kkt.bs), dtype=dtype)
+        if guess0 is None:
+            guess0 = jnp.zeros((self.N, self.kkt.bs), dtype=dtype)
 
         class S(NamedTuple):
             X: jnp.ndarray
@@ -262,16 +265,20 @@ class SQPSolver:
                  drho=jnp.asarray(1.0, dtype), it=jnp.array(0),
                  exit_code=jnp.array(0), done=jnp.array(False), guess=guess0)
         out = jax.lax.while_loop(lambda s: ~s.done, body, init)
-        return out.X, out.U, out.exit_code, out.it, out.J, out.c
+        return out.X, out.U, out.exit_code, out.it, out.J, out.c, out.guess
 
     # ----------------------------------------------------------- full solve
-    def solve(self, x0, u0, cost_params=None, cstate=None) -> SQPResult:
+    def solve(self, x0, u0, cost_params=None, cstate=None,
+              guess=None) -> SQPResult:
         """Full SQP with the soft-constraint outer loop
-        (ref: TrajoptMPCReference.py:510-760)."""
+        (ref: TrajoptMPCReference.py:510-760).  ``guess`` warm-starts the
+        first QP's multipliers (MPC hook, ref: TrajoptMPCReference.py:439)."""
         o = self.options
         cost_params = self.cost.default_params if cost_params is None else cost_params
         if cstate is None:
             cstate = self.cset.init_state(dtype=x0.dtype)
+        if guess is None:
+            guess = jnp.zeros((self.N, self.kkt.bs), dtype=x0.dtype)
         xs = x0[:, 0]
 
         class SoftS(NamedTuple):
@@ -285,10 +292,11 @@ class SQPSolver:
             J: jnp.ndarray
             c: jnp.ndarray
             done: jnp.ndarray
+            lam: jnp.ndarray
 
         def body(s: SoftS) -> SoftS:
-            X1, U1, exit_sqp, iters, J, c = self.sqp_round(
-                s.X, s.U, xs, cost_params, s.cstate)
+            X1, U1, exit_sqp, iters, J, c, lam = self.sqp_round(
+                s.X, s.U, xs, cost_params, s.cstate, guess0=s.lam)
             # soft-constraint convergence checks (ref: :483-508)
             max_c = C.max_soft_violation(self.cset, s.cstate, X1, U1)
             exit_soft = jnp.where(max_c < o.exit_tolerance_soft,
@@ -307,18 +315,19 @@ class SQPSolver:
             outer_it1 = jnp.where(hit_max | done, s.outer_it, s.outer_it + 1)
             return SoftS(X=X1, U=U1, cstate=cstate1, outer_it=outer_it1,
                          exit_soft=exit_soft, exit_sqp=exit_sqp,
-                         sqp_iters=iters, J=J, c=c, done=done)
+                         sqp_iters=iters, J=J, c=c, done=done, lam=lam)
 
         dtype = x0.dtype
         init = SoftS(X=x0, U=u0, cstate=cstate, outer_it=jnp.array(0),
                      exit_soft=jnp.array(0), exit_sqp=jnp.array(0),
                      sqp_iters=jnp.array(0), J=jnp.zeros((), dtype),
-                     c=jnp.zeros((), dtype), done=jnp.array(False))
+                     c=jnp.zeros((), dtype), done=jnp.array(False),
+                     lam=guess)
         out = jax.lax.while_loop(lambda s: ~s.done, body, init)
         return SQPResult(X=out.X, U=out.U, exit_sqp=out.exit_sqp,
                          exit_soft=out.exit_soft, outer_iters=out.outer_it,
                          sqp_iters=out.sqp_iters, J=out.J, viol=out.c,
-                         cstate=out.cstate)
+                         cstate=out.cstate, lam=out.lam)
 
 
 def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
