@@ -1,0 +1,114 @@
+"""Distributed-layer tests on the 8-virtual-device CPU mesh.
+
+The conftest forces XLA_FLAGS=--xla_force_host_platform_device_count=8, so
+these exercise real shard_map/ppermute/psum lowering without TPU hardware
+(the capability the reference lacks entirely — SURVEY.md §2.8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from trajoptmpcreference_tpu.models.plants import PendulumPlant
+from trajoptmpcreference_tpu.ops.btridiag import (
+    BlockTridiag,
+    btd_matvec,
+    btd_solve_dense,
+    pcg,
+    preconditioner,
+)
+from trajoptmpcreference_tpu.parallel import (
+    batch_solve,
+    make_mesh,
+    shard_solve,
+    sharded_btd_matvec,
+    sharded_pcg,
+)
+from trajoptmpcreference_tpu.parallel.horizon import shard_btd
+from trajoptmpcreference_tpu.solvers.costs import QuadraticCost
+from trajoptmpcreference_tpu.solvers.sqp import make_sqp
+
+
+def _random_spd_btd(N, bs, seed=0):
+    rng = np.random.default_rng(seed)
+    diag = rng.standard_normal((N, bs, bs))
+    diag = diag @ diag.transpose(0, 2, 1) + 4.0 * bs * np.eye(bs)
+    upper = 0.3 * rng.standard_normal((N - 1, bs, bs))
+    return BlockTridiag(jnp.asarray(diag), jnp.asarray(upper))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh((8,), ("horizon",))
+
+
+def test_sharded_matvec_matches_dense(mesh8):
+    N, bs = 16, 4
+    A = _random_spd_btd(N, bs)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((N, bs)))
+    y_ref = btd_matvec(A, x)
+    sh = shard_btd(A, 8)
+
+    def f(diag, upper, uprev, xs):
+        from trajoptmpcreference_tpu.parallel.horizon import ShardedBTD
+        return sharded_btd_matvec(ShardedBTD(diag, upper, uprev), xs, "horizon")
+
+    spec = P("horizon")
+    y = jax.jit(jax.shard_map(
+        f, mesh=mesh8, in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False))(sh.diag, sh.upper, sh.upper_prev, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("precond", ["0", "J", "BJ", "SS"])
+def test_sharded_pcg_matches_single_device(mesh8, precond):
+    N, bs = 16, 4
+    A = _random_spd_btd(N, bs, seed=3)
+    b = jnp.asarray(np.random.default_rng(4).standard_normal((N, bs)))
+    # single-device result
+    res1 = pcg(A, b, preconditioner(A, precond), exit_tolerance=1e-10,
+               max_iter=200)
+    x_exact = btd_solve_dense(A, b)
+    sh = shard_btd(A, 8)
+
+    def f(diag, upper, uprev, bs_):
+        from trajoptmpcreference_tpu.parallel.horizon import ShardedBTD
+        r = sharded_pcg(ShardedBTD(diag, upper, uprev), bs_, "horizon",
+                        precond=precond, exit_tolerance=1e-10, max_iter=200)
+        return r.x, jnp.broadcast_to(r.iters, (2,))
+
+    spec = P("horizon")
+    x, iters = jax.jit(jax.shard_map(
+        f, mesh=mesh8, in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False))(
+            sh.diag, sh.upper, sh.upper_prev, b)
+    x = np.asarray(x)
+    np.testing.assert_allclose(x, np.asarray(x_exact), atol=1e-6)
+    # same iterates up to psum reduction-order roundoff near the threshold
+    assert abs(int(np.asarray(iters)[0]) - int(res1.iters)) <= 1
+
+
+def test_batch_and_shard_solve():
+    plant = PendulumPlant()
+    N, dt = 12, 0.1
+    cost = QuadraticCost(jnp.eye(2), 50.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    solver = make_sqp(plant, cost, None, N, dt, method="S")
+    B = 16
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.tile(rng.standard_normal((B, 2, 1)) * 0.1, (1, 1, N)))
+    u0s = jnp.zeros((B, 1, N - 1))
+    goals = jnp.asarray(
+        np.tile(np.array([np.pi, 0.0]), (B, 1))
+        + 0.1 * rng.standard_normal((B, 2)))
+    cps = jax.vmap(lambda g: cost.default_params._replace(xg=g))(goals)
+
+    res_v = jax.jit(batch_solve(solver))(x0s, u0s, cps)
+    assert res_v.X.shape == (B, 2, N)
+
+    mesh = make_mesh((8,), ("batch",))
+    res_s = jax.jit(shard_solve(solver, mesh))(x0s, u0s, cps)
+    np.testing.assert_allclose(np.asarray(res_s.U), np.asarray(res_v.U),
+                               atol=1e-10)

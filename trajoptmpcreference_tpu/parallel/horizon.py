@@ -1,0 +1,172 @@
+"""Horizon-sharded block-tridiagonal operators and PCG.
+
+The sequence-parallel analogue for trajectory optimization (SURVEY.md §2.8):
+the Schur complement S is block-tridiagonal over the horizon (N block rows
+of size bs = nx + m), so for long horizons the PCG solve shards the block
+rows over a 'horizon' mesh axis:
+
+  * matvec: each chip owns L = N/P consecutive block rows; the coupling
+    terms need exactly one halo block vector from each neighbor, exchanged
+    with ``lax.ppermute`` over ICI;
+  * dot products / exit tests: local partial + ``lax.psum``;
+  * preconditioners: J/BJ are chip-local; SS needs one neighbor Dinv at
+    setup (one extra ppermute), after which its application has the same
+    halo pattern as the matvec.
+
+Semantics match ops.btridiag.pcg exactly (same iterates in exact
+arithmetic) — reference behavior: GBD-PCG-Python/PCG.py:66-212.
+
+All ``sharded_*`` functions must be called INSIDE a shard_map whose mesh has
+the named axis; use ``shard_btd`` outside to lay out the global operator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trajoptmpcreference_tpu.ops.btridiag import BlockTridiag, _inv_blocks
+
+
+class ShardedBTD(NamedTuple):
+    """Shard (or global layout) of a symmetric block-tridiagonal operator.
+
+    Inside shard_map (local view, L = N / axis_size):
+      diag: (L, bs, bs) local diagonal blocks (global rows g0..g0+L-1)
+      upper: (L, bs, bs) with upper[k] = A[g0+k, g0+k+1]; the last global
+          row's entry is zero padding
+      upper_prev: (1, bs, bs) = A[g0-1, g0] (zero on the first device)
+
+    Outside (as built by shard_btd, to be passed with in_specs
+    P('horizon') on every leaf's leading axis):
+      diag: (N, bs, bs), upper: (N, bs, bs), upper_prev: (nshards, bs, bs)
+    """
+
+    diag: jnp.ndarray
+    upper: jnp.ndarray
+    upper_prev: jnp.ndarray
+
+
+def shard_btd(A: BlockTridiag, nshards: int) -> ShardedBTD:
+    """Lay out a global operator for a 'horizon' axis of size ``nshards``;
+    every returned leaf is sharded over its leading axis."""
+    N, bs = A.nblocks, A.bs
+    if N % nshards:
+        raise ValueError(f"N={N} must divide by horizon shards {nshards}")
+    dtype = A.diag.dtype
+    L = N // nshards
+    upper = jnp.concatenate(
+        [A.upper, jnp.zeros((1, bs, bs), dtype=dtype)], axis=0)
+    # A[g0-1, g0] for each shard = global upper index (p*L - 1)
+    idx = jnp.arange(1, nshards) * L - 1
+    upper_prev = jnp.concatenate(
+        [jnp.zeros((1, bs, bs), dtype=dtype), A.upper[idx]], axis=0)
+    return ShardedBTD(A.diag, upper, upper_prev)
+
+
+def _halo_exchange(x: jnp.ndarray, ax: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (x_from_left, x_from_right): the left neighbor's LAST block row
+    and the right neighbor's FIRST block row (zeros at the boundary)."""
+    P = jax.lax.axis_size(ax)
+    if P == 1:
+        z = jnp.zeros_like(x[0])
+        return z, z
+    # right-shift: device p receives from p-1 (its left neighbor's last row)
+    from_left = jax.lax.ppermute(
+        x[-1], ax, [(p, p + 1) for p in range(P - 1)])
+    # left-shift: device p receives from p+1 (its right neighbor's first row)
+    from_right = jax.lax.ppermute(
+        x[0], ax, [(p + 1, p) for p in range(P - 1)])
+    return from_left, from_right
+
+
+def sharded_btd_matvec(A: ShardedBTD, x: jnp.ndarray, ax: str) -> jnp.ndarray:
+    """y = S @ x with x the local (L, bs) shard; two ppermutes of one block
+    row each per call."""
+    x_left, x_right = _halo_exchange(x, ax)
+    y = jnp.einsum("kij,kj->ki", A.diag, x)
+    # upper coupling: y_k += U_k x_{k+1}
+    x_next = jnp.concatenate([x[1:], x_right[None]], axis=0)
+    y = y + jnp.einsum("kij,kj->ki", A.upper, x_next)
+    # lower coupling: y_k += U_{k-1}^T x_{k-1}
+    x_prev = jnp.concatenate([x_left[None], x[:-1]], axis=0)
+    U_prev = jnp.concatenate([A.upper_prev, A.upper[:-1]], axis=0)
+    y = y + jnp.einsum("kji,kj->ki", U_prev, x_prev)
+    return y
+
+
+def _pvdot(a, b, ax):
+    return jax.lax.psum(jnp.vdot(a, b), ax)
+
+
+def sharded_preconditioner(A: ShardedBTD, ptype: str, ax: str) -> ShardedBTD:
+    """Pinv with the same ShardedBTD layout (off blocks zero for 0/J/BJ).
+
+    Preconditioner semantics per the reference (ref: PCG.py:113-212)."""
+    L, bs = A.diag.shape[0], A.diag.shape[1]
+    dtype = A.diag.dtype
+    zero_u = jnp.zeros_like(A.upper)
+    zero_p = jnp.zeros_like(A.upper_prev)
+    if ptype == "0":
+        eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), A.diag.shape)
+        return ShardedBTD(eye, zero_u, zero_p)
+    if ptype == "J":
+        d = jnp.einsum("kii->ki", A.diag)
+        return ShardedBTD(jax.vmap(jnp.diag)(1.0 / d), zero_u, zero_p)
+    if ptype == "BJ":
+        return ShardedBTD(_inv_blocks(A.diag), zero_u, zero_p)
+    if ptype == "SS":
+        Dinv = _inv_blocks(A.diag)
+        # need Dinv of the right neighbor's first row and the left
+        # neighbor's last row for the boundary off-diagonal blocks
+        Dinv_left, Dinv_right = _halo_exchange(Dinv, ax)
+        Dinv_next = jnp.concatenate([Dinv[1:], Dinv_right[None]], axis=0)
+        U = -jnp.einsum("kij,kjl,klm->kim", Dinv, A.upper, Dinv_next)
+        U_prev = -(Dinv_left @ A.upper_prev[0] @ Dinv[0])[None]
+        return ShardedBTD(Dinv, U, U_prev)
+    raise ValueError(
+        "Invalid preconditioner; options are [0, J, BJ, SS] "
+        "(ref: PCG.py:52-55)")
+
+
+class ShardedPCGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,
+                precond: str = "SS",
+                guess: Optional[jnp.ndarray] = None,
+                exit_tolerance: float = 1e-6,
+                max_iter: int = 100) -> ShardedPCGResult:
+    """Horizon-sharded PCG: identical iterates to ops.btridiag.pcg, with
+    halo-exchange matvecs and psum dot products (ref loop semantics:
+    PCG.py:66-111)."""
+    Pinv = sharded_preconditioner(A, precond, ax)
+    x0 = jnp.zeros_like(b) if guess is None else guess
+    r0 = b - sharded_btd_matvec(A, x0, ax)
+    rt0 = sharded_btd_matvec(Pinv, r0, ax)
+    nu0 = _pvdot(r0, rt0, ax)
+
+    def cond(state):
+        _, _, _, nu, it, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        x, r, p, nu, it, done = state
+        Ap = sharded_btd_matvec(A, p, ax)
+        alpha = nu / _pvdot(p, Ap, ax)
+        r_new = r - alpha * Ap
+        x_new = x + alpha * p
+        rt = sharded_btd_matvec(Pinv, r_new, ax)
+        nu_new = _pvdot(r_new, rt, ax)
+        done_new = jnp.abs(nu_new) < exit_tolerance
+        p_new = rt + (nu_new / nu) * p
+        return (x_new, r_new, p_new, nu_new, it + 1, done_new)
+
+    init = (x0, r0, rt0, nu0, jnp.array(0), jnp.array(False))
+    x, r, p, nu, it, done = jax.lax.while_loop(cond, body, init)
+    return ShardedPCGResult(x=x, iters=it, converged=done)
