@@ -50,14 +50,20 @@ def main():
     fn = jax.jit(jax.vmap(
         lambda x0, cp: ctrl.run(x0, steps=steps, cost_params=cp)))
 
-    res = fn(x0s, cps)           # warmup / compile
-    jax.block_until_ready(res.X_applied)
+    def run_once():
+        res = fn(x0s, cps)
+        # NB: on the axon remote-TPU backend block_until_ready returns
+        # before remote execution finishes; a host transfer is the only
+        # reliable completion barrier, so sync on a scalar reduction.
+        float(jnp.sum(res.U_applied))
+        return res
+
+    res = run_once()             # warmup / compile
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = fn(x0s, cps)
-        jax.block_until_ready(res.X_applied)
+        res = run_once()
         times.append(time.perf_counter() - t0)
     solves_per_s = B * steps / min(times)
 

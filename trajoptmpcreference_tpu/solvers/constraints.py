@@ -12,10 +12,16 @@ Soft-constraint hyperparameters (mu, lambda, phi) are a pytree
 AL/penalty update schedule (ref: TrajoptConstraint.py:138-166) and the
 MPC warm-shift (ref: TrajoptConstraint.py:168-176).
 
-Reference quirk preserved for parity: the soft *value* penalizes the squared
-distance of every bound margin (violated or not, ref: TrajoptConstraint.py:
-76-86) while the soft *jacobian* masks to violated rows only
-(ref: TrajoptConstraint.py:114-125).
+Deliberate deviation from the reference: its soft *value* penalizes the
+squared margin of EVERY bound row — satisfied or not (ref:
+TrajoptConstraint.py:76-86) — while its soft *jacobian* masks to violated
+rows only (ref: :114-125), i.e. the value is inconsistent with its own
+gradient, and once mu escalates (x10 per outer round, ref: :154-158) the
+satisfied-side margin term explodes the cost.  That code path is dead in
+the reference (soft constraints crash for every surviving plant — see
+tests/test_sqp_parity.py docstring), so we implement the standard AL for
+inequalities instead: penalize violations only, which is exactly what the
+reference's own jacobian differentiates.
 """
 
 from __future__ import annotations
@@ -184,11 +190,18 @@ def hard_rows(spec: BoxLimitSpec, z, width: int):
 
 
 def soft_value(spec: BoxLimitSpec, state: SoftLimitState, z, k):
-    """mu . err^2 (+ lambda . err for AL) (ref: TrajoptConstraint.py:70-86)."""
+    """mu . err^2 (+ lambda . err for AL) over VIOLATED rows.
+
+    The reference evaluates this over all rows (ref: TrajoptConstraint.py:
+    70-86) — inconsistent with its own jacobian (ref: :114-125) and
+    divergent once mu escalates; see module docstring.  We penalize
+    violations only, the standard inequality-AL and exactly the function
+    the reference's jacobian differentiates."""
     m = margin(spec, z)
-    val = jnp.sum(state.mu[:, k] * m * m)
+    mv = jnp.where(m < 0, m, 0.0)
+    val = jnp.sum(state.mu[:, k] * mv * mv)
     if spec.mode == "AUGMENTED_LAGRANGIAN":
-        val = val + state.lam[:, k] @ m
+        val = val + state.lam[:, k] @ mv
     return val
 
 

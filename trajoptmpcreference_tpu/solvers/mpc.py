@@ -145,6 +145,13 @@ def make_mpc(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     if method not in MPC_METHODS:
         raise ValueError(f"Invalid MPC method {method!r}; options are "
                          f"{MPC_METHODS} (ref: TrajoptMPCReference.py:21-27)")
+    if options is None:
+        # The reference's default lower reduction-ratio bound (0.05) rejects
+        # the near-zero steps of a warm-started solve, so every MPC step
+        # past convergence fails its line search and the loop destabilizes.
+        # The reference's own driver disables the bound
+        # (ref: examples/twolinks.py:87); default MPC to that.
+        options = SQPOptions(expected_reduction_min=-100.0)
     if method == "iLQR":
         solver = make_ilqr(plant, cost, cset, N, dt, options=options)
     else:
