@@ -1,0 +1,72 @@
+"""Tracing / op-accounting / timing utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajoptmpcreference_tpu import (
+    PendulumPlant,
+    QuadraticCost,
+    SQPOptions,
+    URDFPlant,
+    UrdfCost,
+    make_sqp,
+    serial_arm,
+)
+from trajoptmpcreference_tpu.utils import cost_analysis, solve_traced, time_fn
+
+
+def _arm_solver():
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    return make_sqp(plant, cost, None, 10, 0.1, method="S",
+                    options=SQPOptions(expected_reduction_min=-100.0,
+                                       max_iter=30))
+
+
+def test_trace_matches_untraced_solve():
+    solver = _arm_solver()
+    x0 = jnp.zeros((4, 10))
+    u0 = jnp.zeros((2, 9))
+    X, U, tr = jax.jit(lambda a, b: solve_traced(solver, a, b))(x0, u0)
+    res = jax.jit(solver.solve)(x0, u0)
+    # same final iterate as the production while_loop path
+    np.testing.assert_allclose(np.asarray(U), np.asarray(res.U), atol=1e-10)
+    assert int(tr.exit_code) == int(res.exit_sqp)
+    it = int(tr.iters)
+    assert it == int(res.sqp_iters) + 1  # trace counts the exiting iteration
+    live = np.asarray(tr.live)
+    assert live[:it].all() and not live[it:].any()
+    # J non-increasing over accepted iterations
+    J = np.asarray(tr.J)[live]
+    acc = np.asarray(tr.accepted)[live]
+    assert (np.diff(J) <= 1e-9).all()
+    assert acc[:-1].all()  # this problem accepts every step until exit
+
+
+def test_trace_is_vmappable():
+    solver = _arm_solver()
+    B = 3
+    x0s = jnp.zeros((B, 4, 10))
+    u0s = jnp.zeros((B, 2, 9))
+    X, U, tr = jax.jit(jax.vmap(lambda a, b: solve_traced(solver, a, b)))(
+        x0s, u0s)
+    assert tr.J.shape == (B, 30)
+    assert (np.asarray(tr.exit_code) == 1).all()
+
+
+def test_cost_analysis_reports_flops():
+    plant = PendulumPlant()
+    cost = QuadraticCost(jnp.eye(2), jnp.eye(2), jnp.eye(1),
+                         jnp.array([3.14, 0.0]))
+    solver = make_sqp(plant, cost, None, 10, 0.1, method="S")
+    stats = cost_analysis(solver.solve, jnp.zeros((2, 10)), jnp.zeros((1, 9)))
+    assert stats.get("flops", 0) > 0
+
+
+def test_time_fn_syncs():
+    f = jax.jit(lambda x: x @ x)
+    x = jnp.ones((256, 256))
+    dt, out = time_fn(f, x, reps=2)
+    assert dt > 0 and out.shape == (256, 256)
