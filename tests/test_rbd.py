@@ -216,3 +216,19 @@ def test_vmap_batching():
     batched = jax.vmap(rbd.fd)(Q, Qd, U)
     single = jnp.stack([rbd.fd(Q[i], Qd[i], U[i]) for i in range(8)])
     np.testing.assert_allclose(batched, single, atol=1e-12)
+
+
+def test_geometric_kinematics_match_autodiff():
+    """The geometric J / dJdq recursions vs a jax.jacfwd oracle (the
+    autodiff path OOMs on TPU at scale; the geometric path must match it)."""
+    for n in (2, 4, 6):
+        robot = serial_arm(n)
+        kin = make_kinematics(robot)
+        rng = np.random.default_rng(42 + n)
+        q = jnp.array(rng.standard_normal(n))
+        J_ad = jax.jacfwd(kin.ee_pos_xyz)(q)[: min(3, n)]
+        np.testing.assert_allclose(np.asarray(kin.jacobian(q)),
+                                   np.asarray(J_ad), atol=1e-12)
+        dJ_ad = jax.jacfwd(lambda qq: jax.jacfwd(kin.ee_pos_xyz)(qq)[: min(3, n)])(q)
+        np.testing.assert_allclose(np.asarray(kin.djdq(q)),
+                                   np.asarray(dJ_ad), atol=1e-12)
