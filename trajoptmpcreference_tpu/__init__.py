@@ -40,6 +40,7 @@ from trajoptmpcreference_tpu.solvers.sqp import (
     make_sqp,
 )
 from trajoptmpcreference_tpu.solvers.ilqr import ILQRResult, ILQRSolver, make_ilqr
+from trajoptmpcreference_tpu.solvers.methods import MPCSolverMethods, SQPSolverMethods
 from trajoptmpcreference_tpu.solvers.mpc import MPCController, MPCResult, make_mpc
 
 __all__ = [
@@ -61,6 +62,8 @@ __all__ = [
     "SQPResult",
     "SQPSolver",
     "make_sqp",
+    "SQPSolverMethods",
+    "MPCSolverMethods",
     "ILQRResult",
     "ILQRSolver",
     "make_ilqr",

@@ -142,6 +142,8 @@ def make_mpc(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     sim_plant: optional distinct "true" plant (model-mismatch studies);
     defaults to the solver plant.
     """
+    from trajoptmpcreference_tpu.solvers.methods import method_str
+    method = method_str(method)
     if method not in MPC_METHODS:
         raise ValueError(f"Invalid MPC method {method!r}; options are "
                          f"{MPC_METHODS} (ref: TrajoptMPCReference.py:21-27)")

@@ -335,7 +335,10 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
              options: Optional[SQPOptions] = None) -> SQPSolver:
     """Build a jit-specialized SQP solver (the reference's
     TrajoptMPCReference(plant, cost, constraints).SQP entry point,
-    ref: TrajoptMPCReference.py:29-42,510)."""
+    ref: TrajoptMPCReference.py:29-42,510).  ``method`` accepts a string or
+    a SQPSolverMethods enum member."""
+    from trajoptmpcreference_tpu.solvers.methods import method_str
+    method = method_str(method)
     if method not in SQP_METHODS:
         raise ValueError(
             f"Invalid QP solver {method!r}; options are N (dense KKT), "
