@@ -1,0 +1,73 @@
+"""Batch-minor (lanes) dynamics vs the per-sample reference kernels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptmpcreference_tpu.models.urdf import serial_arm
+from trajoptmpcreference_tpu.ops import lanes
+from trajoptmpcreference_tpu.ops.rbd import make_rbd
+
+ARMS = [2, 3, 6]
+
+
+@pytest.fixture(scope="module", params=ARMS)
+def setup(request):
+    n = request.param
+    robot = serial_arm(n)
+    rbd = make_rbd(robot)
+    rng = np.random.default_rng(7 + n)
+    L = 5
+    q = jnp.asarray(rng.standard_normal((n, L)))
+    qd = jnp.asarray(rng.standard_normal((n, L)))
+    u = jnp.asarray(rng.standard_normal((n, L)))
+    return robot, rbd, q, qd, u
+
+
+def test_fd_lanes_matches(setup):
+    robot, rbd, q, qd, u = setup
+    out = lanes.fd_lanes(robot, q, qd, u)
+    for l in range(q.shape[1]):
+        ref = rbd.fd(q[:, l], qd[:, l], u[:, l])
+        np.testing.assert_allclose(np.asarray(out[:, l]), np.asarray(ref),
+                                   atol=1e-10)
+
+
+def test_fd_grad_lanes_matches(setup):
+    robot, rbd, q, qd, u = setup
+    out = lanes.fd_grad_lanes(robot, q, qd, u)
+    for l in range(q.shape[1]):
+        ref = rbd.fd_grad(q[:, l], qd[:, l], u[:, l])
+        np.testing.assert_allclose(np.asarray(out[:, :, l]), np.asarray(ref),
+                                   atol=1e-10)
+
+
+def test_custom_vmap_folding(setup):
+    """Single, vmapped, and nested-vmapped calls all agree (lane folding)."""
+    robot, rbd, q, qd, u = setup
+    n, L = q.shape
+    fd1, fdg1 = lanes.make_rbd_lanes(robot)
+    # single sample
+    np.testing.assert_allclose(
+        np.asarray(fd1(q[:, 0], qd[:, 0], u[:, 0])),
+        np.asarray(rbd.fd(q[:, 0], qd[:, 0], u[:, 0])), atol=1e-10)
+    # one vmap level
+    out = jax.jit(jax.vmap(fdg1))(q.T, qd.T, u.T)    # (L, n, 3n)
+    for l in range(L):
+        np.testing.assert_allclose(
+            np.asarray(out[l]),
+            np.asarray(rbd.fd_grad(q[:, l], qd[:, l], u[:, l])), atol=1e-10)
+    # nested vmap (scenarios x knots)
+    B, K = 3, 4
+    rng = np.random.default_rng(0)
+    Q = jnp.asarray(rng.standard_normal((B, K, n)))
+    QD = jnp.asarray(rng.standard_normal((B, K, n)))
+    UU = jnp.asarray(rng.standard_normal((B, K, n)))
+    nested = jax.jit(jax.vmap(jax.vmap(fdg1)))(Q, QD, UU)
+    for b in range(B):
+        for k in range(K):
+            np.testing.assert_allclose(
+                np.asarray(nested[b, k]),
+                np.asarray(rbd.fd_grad(Q[b, k], QD[b, k], UU[b, k])),
+                atol=1e-10)

@@ -74,11 +74,13 @@ def _inv_blocks(blocks):
 
 
 def _solve_batched(A, B):
-    """Batched linear solve; uses Gaussian elimination with partial pivoting
-    expressed through jnp.linalg.solve (XLA lowers small LU fine on CPU; on
-    TPU f64 LU is unsupported, so we fall back to an explicit
-    Gauss-Jordan elimination)."""
-    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+    """Batched linear solve for small blocks.
+
+    On TPU, XLA's batched LU (jnp.linalg.solve) is catastrophically slow for
+    many small systems (~120 ms for 16k 18x18 solves on v5e) and f64 LU is
+    unsupported; explicit Gauss-Jordan elimination lowers to fusible
+    elementwise ops instead.  CPU keeps LAPACK."""
+    if jax.default_backend() == "tpu":
         return _gauss_jordan_solve(A, B)
     return jnp.linalg.solve(A, B)
 

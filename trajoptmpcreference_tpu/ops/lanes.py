@@ -1,0 +1,399 @@
+"""Batch-minor ("lanes") rigid-body dynamics: the TPU hot path.
+
+The per-sample kernels in ops/rbd.py are correct but slow when vmapped on
+TPU: batch-leading layouts put the tiny spatial dims (6, n) on the 128-wide
+vector lanes (<5% utilization) and every small matmul lowers to its own
+padded dot_general.  Here every quantity carries the batch as its TRAILING
+axis — (6, L), (6, 6, L), (n, 3n, L) — and every small matmul is an
+explicit sum of broadcast multiplies, so XLA lays L on the lanes and fuses
+whole algorithm phases into a few elementwise kernels.  This is the GRiD
+thread-per-scenario strategy (ref: GRiDCodeGenerator design, SURVEY.md
+§2.5) mapped onto the TPU VPU.
+
+``make_rbd_lanes(robot)`` returns fd / fd_grad wrapped in
+``jax.custom_batching.custom_vmap`` rules that FOLD any vmapped axis into L
+— so solver code written per-sample (and vmapped over knots and scenarios)
+automatically runs batch-minor at any nesting depth.
+
+Numerics are identical to ops/rbd.py (same recursions, same order of
+operations up to reassociation); cross-validated in tests/test_lanes.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.custom_batching import custom_vmap
+
+from trajoptmpcreference_tpu.models.robot import PRISMATIC, REVOLUTE, RobotModel
+
+
+# ---------------------------------------------------------------- helpers
+def _mm(M, A):
+    """(6, 6, L) @ (6, k, L) -> (6, k, L) (or k absent: vector)."""
+    if A.ndim == 2:
+        return jnp.sum(M * A[None, :, :], axis=1)
+    return jnp.sum(M[:, :, None, :] * A[None, :, :, :], axis=1)
+
+
+def _mmTv(M, v):
+    """M^T v: (6,6,L)^T @ (6,L) -> (6,L)."""
+    return jnp.sum(M * v[:, None, :], axis=0)
+
+
+def _mmTm(M, A):
+    """M^T A: (6,6,L)^T @ (6,k,L) -> (6,k,L)."""
+    return jnp.sum(M[:, :, None, :] * A[:, None, :, :], axis=0)
+
+
+def _sm(Ms, A):
+    """static (6,6) @ (6,k,L) or (6,L)."""
+    Ms = jnp.asarray(Ms, dtype=A.dtype)
+    if A.ndim == 2:
+        return jnp.sum(Ms[:, :, None] * A[None, :, :], axis=1)
+    return jnp.sum(Ms[:, :, None, None] * A[None, :, :, :], axis=1)
+
+
+def _crm(v):
+    """crm of a lane vector (6, L) -> (6, 6, L) (ops/spatial.py:24-33)."""
+    z = jnp.zeros_like(v[0])
+    r = [[z, -v[2], v[1], z, z, z],
+         [v[2], z, -v[0], z, z, z],
+         [-v[1], v[0], z, z, z, z],
+         [z, -v[5], v[4], z, -v[2], v[1]],
+         [v[5], z, -v[3], v[2], z, -v[0]],
+         [-v[4], v[3], z, -v[1], v[0], z]]
+    return jnp.stack([jnp.stack(row) for row in r])
+
+
+def _crm_v(a, b):
+    """crm(a) @ b for lane vectors (6, L)."""
+    return jnp.stack([
+        -a[2] * b[1] + a[1] * b[2],
+        a[2] * b[0] - a[0] * b[2],
+        -a[1] * b[0] + a[0] * b[1],
+        -a[2] * b[4] + a[1] * b[5] - a[5] * b[1] + a[4] * b[2],
+        a[2] * b[3] - a[0] * b[5] + a[5] * b[0] - a[3] * b[2],
+        -a[1] * b[3] + a[0] * b[4] - a[4] * b[0] + a[3] * b[1],
+    ])
+
+
+def _crf_v(a, b):
+    """crf(a) @ b = -crm(a)^T b for lane vectors."""
+    return jnp.stack([
+        -a[2] * b[1] + a[1] * b[2] - a[5] * b[4] + a[4] * b[5],
+        a[2] * b[0] - a[0] * b[2] + a[5] * b[3] - a[3] * b[5],
+        -a[1] * b[0] + a[0] * b[1] - a[4] * b[3] + a[3] * b[4],
+        -a[2] * b[4] + a[1] * b[5],
+        a[2] * b[3] - a[0] * b[5],
+        -a[1] * b[3] + a[0] * b[4],
+    ])
+
+
+def _icrf(v):
+    """icrf(v) as (6, 6, L) (ops/spatial.py:41-50)."""
+    z = jnp.zeros_like(v[0])
+    r = [[z, v[2], -v[1], z, v[5], -v[4]],
+         [-v[2], z, v[0], -v[5], z, v[3]],
+         [v[1], -v[0], z, v[4], -v[3], z],
+         [z, v[5], -v[4], z, z, z],
+         [-v[5], z, v[3], z, z, z],
+         [v[4], -v[3], z, z, z, z]]
+    return jnp.stack([jnp.stack(row) for row in r])
+
+
+def _crf_m(v, A):
+    """crf(v) @ A with v (6, L), A (6, k, L): -crm(v)^T A."""
+    return -_mmTm(_crm(v), A)
+
+
+def _joint_X(robot, j, theta):
+    """Spatial transform X_j(theta) for lane vector theta (L,) -> (6,6,L)
+    (ops/spatial.py:105-122)."""
+    dtype = theta.dtype
+    ax = np.asarray(robot.axis[j])
+    A = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    A2 = A @ A
+    Xf = jnp.asarray(robot.X_fixed[j], dtype=dtype)
+    L = theta.shape[0]
+    if robot.joint_type[j] == REVOLUTE:
+        st, ct = jnp.sin(theta), 1.0 - jnp.cos(theta)
+        E = (jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
+             - st[None, None, :] * jnp.asarray(A, dtype=dtype)[:, :, None]
+             + ct[None, None, :] * jnp.asarray(A2, dtype=dtype)[:, :, None])
+        Z = jnp.zeros((3, 3, L), dtype=dtype)
+        Xfree = jnp.concatenate([
+            jnp.concatenate([E, Z], axis=1),
+            jnp.concatenate([Z, E], axis=1)], axis=0)
+    else:
+        K = jnp.asarray(A, dtype=dtype)[:, :, None] * theta[None, None, :]
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
+        Z = jnp.zeros((3, 3, L), dtype=dtype)
+        Xfree = jnp.concatenate([
+            jnp.concatenate([I3, Z], axis=1),
+            jnp.concatenate([-K, I3], axis=1)], axis=0)
+    # X = Xfree @ Xf  (Xf static)
+    return jnp.sum(Xfree[:, :, None, :] * Xf[None, :, :, None], axis=1)
+
+
+# ------------------------------------------------------------- algorithms
+def _rnea_lanes(robot, X, q, qd, qdd, gravity):
+    """RNEA over lanes; returns (c (n,L), v, a, f lists, f_acc list)."""
+    n = robot.n
+    parent = robot.parent
+    dtype = q.dtype
+    L = q.shape[1]
+    g = jnp.zeros((6, L), dtype=dtype).at[5].set(-gravity)
+    S = [jnp.asarray(robot.S[i], dtype=dtype)[:, None] for i in range(n)]
+    I6 = [jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
+          for i in range(n)]
+    v, a, f = [], [], []
+    for i in range(n):
+        Si = S[i]
+        if parent[i] == -1:
+            vi = Si * qd[i][None, :]
+            ai = _mm(X[i], g)
+        else:
+            vi = _mm(X[i], v[parent[i]]) + Si * qd[i][None, :]
+            ai = _mm(X[i], a[parent[i]])
+        ai = ai + qd[i][None, :] * _crm_v(vi, jnp.broadcast_to(Si, vi.shape))
+        if qdd is not None:
+            ai = ai + Si * qdd[i][None, :]
+        Iv = jnp.sum(I6[i] * vi[None, :, :], axis=1)
+        Ia = jnp.sum(I6[i] * ai[None, :, :], axis=1)
+        fi = Ia + _crf_v(vi, Iv)
+        v.append(vi)
+        a.append(ai)
+        f.append(fi)
+    f_acc = list(f)
+    c = [None] * n
+    for i in range(n - 1, -1, -1):
+        c[i] = jnp.sum(jnp.asarray(robot.S[i], dtype=dtype)[:, None]
+                       * f_acc[i], axis=0)
+        p = parent[i]
+        if p != -1:
+            f_acc[p] = f_acc[p] + _mmTv(X[i], f_acc[i])
+    return jnp.stack(c), v, a, f_acc
+
+
+def _minv_lanes(robot, X, q):
+    """Analytic Minv over lanes (ops/rbd.py minv; ref: RBDReference.py:
+    805-930).  Returns dense symmetric (n, n, L)."""
+    n = robot.n
+    parent = robot.parent
+    dtype = q.dtype
+    L = q.shape[1]
+    subtrees = [np.array(robot.subtree(j), dtype=np.int64) for j in range(n)]
+    S = [jnp.asarray(robot.S[i], dtype=dtype) for i in range(n)]
+    IA = [jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
+          * jnp.ones((1, 1, L), dtype=dtype) for i in range(n)]
+    Minv = jnp.zeros((n, n, L), dtype=dtype)
+    F = [jnp.zeros((6, n, L), dtype=dtype) for _ in range(n)]
+    U = [None] * n
+    Dinv = [None] * n
+    for i in range(n - 1, -1, -1):
+        Si = S[i]
+        sub = subtrees[i]
+        U[i] = jnp.sum(IA[i] * Si[None, :, None], axis=1)      # (6, L)
+        Dinv[i] = 1.0 / jnp.sum(Si[:, None] * U[i], axis=0)    # (L,)
+        Minv = Minv.at[i, i].set(Dinv[i])
+        SF = jnp.sum(Si[:, None, None] * F[i][:, sub, :], axis=0)  # (s, L)
+        Minv = Minv.at[i, sub].add(-Dinv[i][None, :] * SF)
+        p = parent[i]
+        if p != -1:
+            F[i] = F[i].at[:, sub, :].add(U[i][:, None, :]
+                                          * Minv[i, sub][None, :, :])
+            F[p] = F[p].at[:, sub, :].add(_mmTm(X[i], F[i][:, sub, :]))
+            Ia = IA[i] - (U[i][:, None, :] * (Dinv[i][None, None, :]
+                                              * U[i][None, :, :]))
+            IA[p] = IA[p] + _mmTm(X[i], _mm(Ia, X[i]))
+    for i in range(n):
+        Si = S[i]
+        p = parent[i]
+        tail = np.arange(i, n)
+        if p != -1:
+            UX = _mmTv(jnp.swapaxes(X[i], 0, 1), U[i])  # (U^T X)? see below
+            # U[i] @ X[i]: row vector times matrix -> (6, L)
+            UX = jnp.sum(U[i][:, None, :] * X[i], axis=0)
+            contrib = jnp.sum(UX[:, None, :] * F[p][:, tail, :], axis=0)
+            Minv = Minv.at[i, tail].add(-Dinv[i][None, :] * contrib)
+        Fi = Si[:, None, None] * Minv[i, tail][None, :, :]
+        if p != -1:
+            Fi = Fi + _mm(X[i], F[p][:, tail, :])
+        F[i] = F[i].at[:, tail, :].set(Fi)
+    # symmetrize from the upper triangle (ref: RBDReference.py:921-928)
+    iu = np.triu_indices(n)
+    upper = jnp.zeros((n, n, L), dtype=dtype).at[iu].set(Minv[iu])
+    strict = jnp.triu(jnp.ones((n, n), dtype=bool), 1)
+    return upper + jnp.where(strict[:, :, None], upper, 0.0).transpose(1, 0, 2)
+
+
+def _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v, a, f_acc):
+    """Analytic d tau / d [q, qd] over lanes -> (n, 2n, L)
+    (ops/rbd.py rnea_grad; ref: RBDReference.py:561-802)."""
+    n = robot.n
+    parent = robot.parent
+    dtype = q.dtype
+    L = q.shape[1]
+    g = jnp.zeros((6, L), dtype=dtype).at[5].set(-gravity)
+    dv_dq, da_dq, df_dq = [], [], []
+    dv_dqd, da_dqd, df_dqd = [], [], []
+    for i in range(n):
+        Si_s = np.asarray(robot.S[i])
+        Si = jnp.asarray(Si_s, dtype=dtype)[:, None]
+        I6 = jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
+        crmS = np.zeros((6, 6))
+        # crm of the static S vector
+        s0, s1, s2, s3, s4, s5 = Si_s
+        crmS[:3, :3] = [[0, -s2, s1], [s2, 0, -s0], [-s1, s0, 0]]
+        crmS[3:, 3:] = crmS[:3, :3]
+        crmS[3:, :3] = [[0, -s5, s4], [s5, 0, -s3], [-s4, s3, 0]]
+        p = parent[i]
+        if p == -1:
+            dv = jnp.zeros((6, n, L), dtype=dtype)
+            da = jnp.zeros((6, n, L), dtype=dtype)
+            da = da.at[:, i].add(_crm_v(_mm(X[i], g),
+                                        jnp.broadcast_to(Si, (6, L))))
+            dvd = jnp.zeros((6, n, L), dtype=dtype)
+            dad = jnp.zeros((6, n, L), dtype=dtype)
+        else:
+            dv = _mm(X[i], dv_dq[p])
+            dv = dv.at[:, i].add(_crm_v(_mm(X[i], v[p]),
+                                        jnp.broadcast_to(Si, (6, L))))
+            da = _mm(X[i], da_dq[p])
+            da = da.at[:, i].add(_crm_v(_mm(X[i], a[p]),
+                                        jnp.broadcast_to(Si, (6, L))))
+            dvd = _mm(X[i], dv_dqd[p])
+            dad = _mm(X[i], da_dqd[p])
+        da = da - qd[i][None, None, :] * _sm(crmS, dv)
+        dvd = dvd.at[:, i].add(Si)
+        dad = dad - qd[i][None, None, :] * _sm(crmS, dvd)
+        dad = dad.at[:, i].add(_crm_v(v[i], jnp.broadcast_to(Si, (6, L))))
+        Iv = jnp.sum(I6 * v[i][None, :, :], axis=1)
+        icrfIv = _icrf(Iv)
+        Idv = jnp.sum(I6[:, :, None, :] * dv[None, :, :, :], axis=1)
+        Idvd = jnp.sum(I6[:, :, None, :] * dvd[None, :, :, :], axis=1)
+        df = (jnp.sum(I6[:, :, None, :] * da[None, :, :, :], axis=1)
+              + _mm(icrfIv, dv) + _crf_m(v[i], Idv))
+        dfd = (jnp.sum(I6[:, :, None, :] * dad[None, :, :, :], axis=1)
+               + _mm(icrfIv, dvd) + _crf_m(v[i], Idvd))
+        dv_dq.append(dv)
+        da_dq.append(da)
+        df_dq.append(df)
+        dv_dqd.append(dvd)
+        da_dqd.append(dad)
+        df_dqd.append(dfd)
+    dc_dq = [None] * n
+    dc_dqd = [None] * n
+    for i in range(n - 1, -1, -1):
+        Si = jnp.asarray(robot.S[i], dtype=dtype)
+        dc_dq[i] = jnp.sum(Si[:, None, None] * df_dq[i], axis=0)    # (n, L)
+        dc_dqd[i] = jnp.sum(Si[:, None, None] * df_dqd[i], axis=0)
+        p = parent[i]
+        if p != -1:
+            upd = _mmTm(X[i], df_dq[i])
+            fxS = -_crm_v(f_acc[i], jnp.broadcast_to(Si[:, None], (6, q.shape[1])))
+            upd = upd.at[:, i].add(_mmTv(X[i], fxS))
+            df_dq[p] = df_dq[p] + upd
+            df_dqd[p] = df_dqd[p] + _mmTm(X[i], df_dqd[i])
+    out_q = jnp.stack(dc_dq)            # (n, n, L)
+    out_qd = jnp.stack(dc_dqd)
+    if np.any(robot.damping):
+        dmp = jnp.asarray(np.diag(robot.damping), dtype=dtype)
+        out_qd = out_qd + dmp[:, :, None]
+    return jnp.concatenate([out_q, out_qd], axis=1)   # (n, 2n, L)
+
+
+def fd_lanes(robot: RobotModel, q, qd, u, gravity=-9.81):
+    """qdd = Minv (u - c) over lanes; args (n, L) -> (n, L)."""
+    n = robot.n
+    X = [_joint_X(robot, j, q[j]) for j in range(n)]
+    c, _, _, _ = _rnea_lanes(robot, X, q, qd, None, gravity)
+    Mi = _minv_lanes(robot, X, q)
+    return jnp.sum(Mi * (u - c)[None, :, :], axis=1)
+
+
+def fd_grad_lanes(robot: RobotModel, q, qd, u, gravity=-9.81):
+    """dqdd/d[q, qd, u] over lanes -> (n, 3n, L) (ops/rbd.py fd_grad)."""
+    n = robot.n
+    X = [_joint_X(robot, j, q[j]) for j in range(n)]
+    c, v, a_unused, f0 = _rnea_lanes(robot, X, q, qd, None, gravity)
+    Mi = _minv_lanes(robot, X, q)
+    qdd = jnp.sum(Mi * (u - c)[None, :, :], axis=1)
+    # rerun rnea WITH qdd for the gradient's (v, a, f_acc)
+    c2, v2, a2, facc2 = _rnea_lanes(robot, X, q, qd, qdd, gravity)
+    dtau = _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v2, a2, facc2)
+    # dqdd = [-Mi dtau, Mi]
+    dfx = -jnp.sum(Mi[:, :, None, :] * dtau[None, :, :, :], axis=1)
+    return jnp.concatenate([dfx, Mi], axis=1)         # (n, 3n, L)
+
+
+# ----------------------------------------------- custom_vmap lane folding
+def _fold(a):
+    """(B, d0, ..., L) -> (d0, ..., L*B)."""
+    a = jnp.moveaxis(a, 0, -1)
+    return a.reshape(a.shape[:-2] + (-1,))
+
+
+def _unfold(a, B):
+    """(d0, ..., L*B) -> (B, d0, ..., L)."""
+    a = a.reshape(a.shape[:-1] + (-1, B))
+    return jnp.moveaxis(a, -1, 0)
+
+
+def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81):
+    """Lane-folding fd / fd_grad with per-sample signatures.
+
+    Returns (fd1, fd_grad1): fd1(q (n,), qd, u) -> (n,);
+    fd_grad1 -> (n, 3n).  Any level of vmap folds into the lane axis.
+    """
+
+    def _bc(a, batched, B):
+        """Unbatched args (e.g. constants under jacfwd's vmap-of-jvp) get
+        broadcast so they fold like the rest."""
+        return a if batched else jnp.broadcast_to(a[None], (B,) + a.shape)
+
+    @custom_vmap
+    def fd_L(q, qd, u):
+        return fd_lanes(robot, q, qd, u, gravity)
+
+    @fd_L.def_vmap
+    def _fd_rule(axis_size, in_batched, q, qd, u):
+        args = [_fold(_bc(a, b, axis_size))
+                for a, b in zip((q, qd, u), in_batched)]
+        return _unfold(fd_L(*args), axis_size), True
+
+    @custom_vmap
+    def fdg_L(q, qd, u):
+        return fd_grad_lanes(robot, q, qd, u, gravity)
+
+    @fdg_L.def_vmap
+    def _fdg_rule(axis_size, in_batched, q, qd, u):
+        args = [_fold(_bc(a, b, axis_size))
+                for a, b in zip((q, qd, u), in_batched)]
+        return _unfold(fdg_L(*args), axis_size), True
+
+    n = robot.n
+
+    def fd_grad1(q, qd, u):
+        return fdg_L(q[:, None], qd[:, None], u[:, None])[:, :, 0]
+
+    @jax.custom_jvp
+    def fd1(q, qd, u):
+        return fd_L(q[:, None], qd[:, None], u[:, None])[:, 0]
+
+    @fd1.defjvp
+    def _fd1_jvp(primals, tangents):
+        # exact tangent from the analytic gradient — autodiff must NOT trace
+        # into the custom_vmap (vmap-of-jvp recurses into the folding rule)
+        q, qd, u = primals
+        tq, tqd, tu = tangents
+        out = fd1(q, qd, u)
+        G = fd_grad1(q, qd, u)                       # (n, 3n)
+        tang = G[:, :n] @ tq + G[:, n:2 * n] @ tqd + G[:, 2 * n:] @ tu
+        return out, tang
+
+    return fd1, fd_grad1
