@@ -25,6 +25,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _bmv(A, x):
+    """Batched block matvec [..., i, j] @ [..., j] via broadcast-sum.
+
+    Written as multiply+reduce (not einsum/dot_general) so XLA lowers to
+    fused VPU ops instead of per-block padded MXU matmuls — the small block
+    sizes here (bs ~ 12-18) waste >90% of an MXU tile."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def _bmv_T(A, x):
+    """[..., j, i]^T @ [..., j] -> [..., i]."""
+    return jnp.sum(A * x[..., :, None], axis=-2)
+
+
+def _bmm(A, B):
+    """[..., i, k] @ [..., k, j] via broadcast-sum."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
 class BlockTridiag(NamedTuple):
     """Symmetric block-tridiagonal matrix.
 
@@ -46,11 +65,11 @@ class BlockTridiag(NamedTuple):
 
 def btd_matvec(A: BlockTridiag, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x with x as (N, bs)."""
-    y = jnp.einsum("kij,kj->ki", A.diag, x)
+    y = _bmv(A.diag, x)
     # upper: y_k += U_k x_{k+1}
-    y = y.at[:-1].add(jnp.einsum("kij,kj->ki", A.upper, x[1:]))
+    y = y.at[:-1].add(_bmv(A.upper, x[1:]))
     # lower: y_{k+1} += U_k^T x_k
-    y = y.at[1:].add(jnp.einsum("kji,kj->ki", A.upper, x[:-1]))
+    y = y.at[1:].add(_bmv_T(A.upper, x[:-1]))
     return y
 
 
@@ -155,7 +174,7 @@ def _symmetric_stair(A: BlockTridiag) -> BlockTridiag:
     #   branch) = -Dinv_j A[j, j+1] Dinv_{j+1}  -> same formula.
     # Net: every off-diagonal block pair gets -Dinv_k A_k,k+1 Dinv_{k+1};
     # the even/odd distinction only affects *which* copy is primary.
-    U = -jnp.einsum("kij,kjl,klm->kim", Dinv[:-1], A.upper, Dinv[1:])
+    U = -_bmm(_bmm(Dinv[:-1], A.upper), Dinv[1:])
     # Reference detail: with an odd number of blocks the final even block's
     # right off-diagonal is never produced by an odd row (no odd j = N), but
     # the "elif k > 0" branch fills Pinv[N-2, N-1] when N-1 is even... the

@@ -27,7 +27,13 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from trajoptmpcreference_tpu.ops.btridiag import BlockTridiag, _inv_blocks
+from trajoptmpcreference_tpu.ops.btridiag import (
+    BlockTridiag,
+    _bmm,
+    _bmv,
+    _bmv_T,
+    _inv_blocks,
+)
 
 
 class ShardedBTD(NamedTuple):
@@ -86,14 +92,14 @@ def sharded_btd_matvec(A: ShardedBTD, x: jnp.ndarray, ax: str) -> jnp.ndarray:
     """y = S @ x with x the local (L, bs) shard; two ppermutes of one block
     row each per call."""
     x_left, x_right = _halo_exchange(x, ax)
-    y = jnp.einsum("kij,kj->ki", A.diag, x)
+    y = _bmv(A.diag, x)
     # upper coupling: y_k += U_k x_{k+1}
     x_next = jnp.concatenate([x[1:], x_right[None]], axis=0)
-    y = y + jnp.einsum("kij,kj->ki", A.upper, x_next)
+    y = y + _bmv(A.upper, x_next)
     # lower coupling: y_k += U_{k-1}^T x_{k-1}
     x_prev = jnp.concatenate([x_left[None], x[:-1]], axis=0)
     U_prev = jnp.concatenate([A.upper_prev, A.upper[:-1]], axis=0)
-    y = y + jnp.einsum("kji,kj->ki", U_prev, x_prev)
+    y = y + _bmv_T(U_prev, x_prev)
     return y
 
 
@@ -123,7 +129,7 @@ def sharded_preconditioner(A: ShardedBTD, ptype: str, ax: str) -> ShardedBTD:
         # neighbor's last row for the boundary off-diagonal blocks
         Dinv_left, Dinv_right = _halo_exchange(Dinv, ax)
         Dinv_next = jnp.concatenate([Dinv[1:], Dinv_right[None]], axis=0)
-        U = -jnp.einsum("kij,kjl,klm->kim", Dinv, A.upper, Dinv_next)
+        U = -_bmm(_bmm(Dinv, A.upper), Dinv_next)
         U_prev = -(Dinv_left @ A.upper_prev[0] @ Dinv[0])[None]
         return ShardedBTD(Dinv, U, U_prev)
     raise ValueError(

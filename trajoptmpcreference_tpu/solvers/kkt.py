@@ -37,6 +37,8 @@ from trajoptmpcreference_tpu.ops.btridiag import (
     btd_dense,
     pcg,
     preconditioner,
+    _bmm,
+    _bmv,
     _solve_batched,
 )
 from trajoptmpcreference_tpu.solvers import constraints as C
@@ -219,24 +221,25 @@ class KKTSystem:
         E, F, rhs, D = self._EF(blocks)
         G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
         invG = _inv_psd(G)
+        ET = jnp.swapaxes(E, -1, -2)
+        FT = jnp.swapaxes(F, -1, -2)
         # S_kk = D_k - E_k invG_{k-1} E_k^T - F_k invG_k F_k^T
-        EiE = jnp.einsum("kin,knm,kjm->kij", E[1:], invG[:-1], E[1:])
-        FiF = jnp.einsum("kin,knm,kjm->kij", F, invG, F)
+        EiE = _bmm(_bmm(E[1:], invG[:-1]), ET[1:])
+        FiF = _bmm(_bmm(F, invG), FT)
         Sd = jax.vmap(jnp.diag)(D) - FiF
         Sd = Sd.at[1:].add(-EiE)
         # S_{k,k+1} = -F_k invG_k E_{k+1}^T
-        So = -jnp.einsum("kin,knm,kjm->kij", F[:-1], invG[:-1], E[1:])
+        So = -_bmm(_bmm(F[:-1], invG[:-1]), ET[1:])
         # gamma_k = rhs_k - E_k invG_{k-1} g_{k-1} - F_k invG_k g_k
-        gam = rhs - jnp.einsum("kin,kn->ki", F, jnp.einsum("knm,km->kn", invG, blocks.g))
-        gam = gam.at[1:].add(
-            -jnp.einsum("kin,kn->ki", E[1:], jnp.einsum("knm,km->kn", invG[:-1], blocks.g[:-1])))
+        gam = rhs - _bmv(F, _bmv(invG, blocks.g))
+        gam = gam.at[1:].add(-_bmv(E[1:], _bmv(invG[:-1], blocks.g[:-1])))
         return BlockTridiag(Sd, So), gam, invG, E, F
 
     def recover_dxu(self, invG, E, F, blocks: KKTBlocks, lam):
         """dxu = G^-1 (g - C^T lam) blockwise (ref: :449-452)."""
-        rhs = blocks.g - jnp.einsum("kni,kn->ki", F, lam)
-        rhs = rhs.at[:-1].add(-jnp.einsum("kni,kn->ki", E[1:], lam[1:]))
-        return jnp.einsum("kij,kj->ki", invG, rhs)
+        rhs = blocks.g - jnp.sum(F * lam[..., :, None], axis=-2)
+        rhs = rhs.at[:-1].add(-jnp.sum(E[1:] * lam[1:, :, None], axis=-2))
+        return _bmv(invG, rhs)
 
     def solve_schur(self, blocks: KKTBlocks, rho,
                     use_pcg: bool = False,
