@@ -1,0 +1,153 @@
+"""Constraint-layer unit tests against the reference formulas.
+
+No golden fixtures exist (the reference's constrained paths crash for every
+surviving plant — see tests/test_sqp_parity.py), so these verify the
+formulas the reference DOCUMENTS: margins, signed selector rows with
+head/tail padding (ref: TrajoptConstraint.py:99-113,191-208), the AL/penalty
+update schedule (ref: :138-166), the MPC shift (ref: :168-176, corrected),
+plus end-to-end limit enforcement through both solvers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptmpcreference_tpu import (
+    ConstraintSet,
+    PendulumPlant,
+    QuadraticCost,
+    SQPOptions,
+    make_sqp,
+)
+from trajoptmpcreference_tpu.solvers import constraints as C
+
+
+@pytest.fixture
+def cset():
+    return (ConstraintSet(2, 2, 2, 10)
+            .with_joint_limits(2.0, -2.0, "ACTIVE_SET")
+            .with_velocity_limits(5.0, -5.0, "FULL_SET")
+            .with_torque_limits(7.0, -7.0, "AUGMENTED_LAGRANGIAN"))
+
+
+def test_mode_validation():
+    cs = ConstraintSet(1, 1, 1, 5)
+    with pytest.raises(NotImplementedError, match="ADMM"):
+        cs.with_torque_limits(1.0, -1.0, "ADMM_PROJECTION")
+    with pytest.raises(ValueError, match="Invalid constraint mode"):
+        cs.with_torque_limits(1.0, -1.0, "BOGUS")
+
+
+def test_margins_and_selector(cset):
+    spec = cset.limits[0]          # joint limits, size 2
+    z = jnp.array([1.5, -2.5, 0.0, 0.0])
+    m = C.margin(spec, z)
+    # [z - lb; ub - z] (ref: TrajoptConstraint.py:56-58)
+    np.testing.assert_allclose(np.asarray(m), [3.5, -0.5, 0.5, 4.5])
+    J = C.signed_selector(spec, 6, jnp.float64)
+    # +1 rows then -1 rows at col_offset (ref: :99-106)
+    assert J.shape == (4, 6)
+    np.testing.assert_allclose(np.asarray(J[0]), [1, 0, 0, 0, 0, 0])
+    np.testing.assert_allclose(np.asarray(J[3]), [0, -1, 0, 0, 0, 0])
+
+
+def test_active_set_vs_full_set(cset):
+    joint = cset.limits[0]     # ACTIVE_SET
+    vel = cset.limits[1]       # FULL_SET
+    z = jnp.array([1.5, -2.5])
+    v, J, act = C.hard_rows(joint, z, 6)
+    # only the violated row (joint 1 below lower bound) is live
+    np.testing.assert_array_equal(np.asarray(act), [False, True, False, False])
+    assert float(v[1]) == pytest.approx(-0.5)
+    assert float(v[0]) == 0.0                  # masked
+    v2, J2, act2 = C.hard_rows(vel, z, 6)
+    assert np.asarray(act2).all()              # FULL_SET: every row live
+
+
+def test_al_update_schedule():
+    """mu x10 on violated-far rows, lambda+phi update on violated-near rows,
+    untouched elsewhere (ref: TrajoptConstraint.py:138-166)."""
+    spec = C.BoxLimitSpec("torque", 1, 0, (-1.0,), (1.0,),
+                          "AUGMENTED_LAGRANGIAN", 3, False)
+    st = C.SoftLimitState(mu=jnp.full((2, 3), 1e-2),
+                          lam=jnp.zeros((2, 3)),
+                          phi=jnp.full((2, 3), 1e-2))
+    # timestep 0: far violation below lb; 1: tiny violation; 2: satisfied
+    Z = jnp.array([[-3.0, -1.005, 0.0]])
+    new, at_max = C.update_soft_state(spec, st, Z)
+    assert not bool(at_max)
+    # lb row, t=0: |m|=2 >= phi -> mu update
+    assert float(new.mu[0, 0]) == pytest.approx(1e-1)
+    assert float(new.lam[0, 0]) == 0.0
+    # lb row, t=1: |m|=0.005 < phi=0.01 -> lambda update, phi /= 10
+    assert float(new.lam[0, 1]) == pytest.approx(1e-2 * -0.005)
+    assert float(new.phi[0, 1]) == pytest.approx(1e-3)
+    assert float(new.mu[0, 1]) == pytest.approx(1e-2)
+    # t=2 untouched
+    assert float(new.mu[0, 2]) == pytest.approx(1e-2)
+    assert float(new.lam[0, 2]) == 0.0
+
+
+def test_mu_at_limit_flag():
+    spec = C.BoxLimitSpec("torque", 1, 0, (-1.0,), (1.0,),
+                          "QUADRATIC_PENALTY", 1, False, mu_max=1e-2)
+    st = C.SoftLimitState(mu=jnp.full((2, 1), 1e-2), lam=jnp.zeros((2, 1)),
+                          phi=jnp.full((2, 1), 1e-8))
+    Z = jnp.array([[-3.0]])
+    _, at_max = C.update_soft_state(spec, st, Z)
+    assert bool(at_max)
+
+
+def test_shift_preserves_columns():
+    """The corrected MPC shift keeps all shifted columns (the reference's
+    in-place version wipes columns >= shift, ref: TrajoptConstraint.py:
+    380-387)."""
+    spec = C.BoxLimitSpec("torque", 1, 0, (-1.0,), (1.0,),
+                          "AUGMENTED_LAGRANGIAN", 4, False)
+    st = C.SoftLimitState(mu=jnp.asarray([[1., 2., 3., 4.], [5., 6., 7., 8.]]),
+                          lam=jnp.asarray([[.1, .2, .3, .4], [0., 0., 0., 0.]]),
+                          phi=jnp.full((2, 4), 0.5))
+    sh = C.shift_soft_state(spec, st, 1)
+    np.testing.assert_allclose(np.asarray(sh.mu[0]), [2., 3., 4., spec.mu_init])
+    np.testing.assert_allclose(np.asarray(sh.lam[0]), [.2, .3, .4, 0.0])
+
+
+def test_soft_value_consistent_with_jacobian():
+    """The value must be what the jacobian differentiates (the deliberate
+    deviation from the reference, see constraints.py module docstring)."""
+    spec = C.BoxLimitSpec("torque", 2, 0, (-1.0, -1.0), (1.0, 1.0),
+                          "AUGMENTED_LAGRANGIAN", 3, False)
+    st = C.SoftLimitState(mu=jnp.full((4, 3), 0.7),
+                          lam=jnp.asarray(np.random.default_rng(0)
+                                          .standard_normal((4, 3))),
+                          phi=jnp.full((4, 3), 1e-2))
+    z0 = jnp.array([1.4, -0.2])   # first coordinate violated
+    k = 1
+    g_analytic = C.soft_jacobian(spec, st, z0, k, 2)
+    g_ad = jax.grad(lambda z: C.soft_value(spec, st, z, k))(z0)
+    np.testing.assert_allclose(np.asarray(g_analytic), np.asarray(g_ad),
+                               atol=1e-10)
+
+
+@pytest.mark.parametrize("mode", ["ACTIVE_SET",
+                                  "QUADRATIC_PENALTY",
+                                  "AUGMENTED_LAGRANGIAN"])
+def test_limits_enforced_end_to_end(mode):
+    """FULL_SET is excluded: as in the reference's KKT assembly, full-set
+    rows enter as EQUALITY constraints, pinning both bound margins of every
+    row to zero simultaneously - degenerate by construction for interior
+    solutions (ref: formKKTSystemBlocks, TrajoptMPCReference.py:164-173);
+    its rows/jacobians are covered by the unit tests above."""
+    plant = PendulumPlant()
+    N = 20
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    cset = ConstraintSet(1, 1, 1, N).with_torque_limits([7.0], [-7.0], mode)
+    solver = make_sqp(plant, cost, cset, N, 0.1, method="S",
+                      options=SQPOptions(expected_reduction_min=-100.0))
+    res = jax.jit(solver.solve)(jnp.zeros((2, N)), jnp.zeros((1, N - 1)))
+    # unconstrained swing-up needs |u| ~ 9.4; limits must cap it
+    assert float(jnp.max(jnp.abs(res.U))) < 7.0 + 0.05, mode
+    # and still reach the goal region
+    assert abs(float(res.X[0, -1]) - np.pi) < 0.4

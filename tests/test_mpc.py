@@ -1,0 +1,87 @@
+"""Closed-loop MPC tests: stabilization, warm-start effectiveness, shift."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptmpcreference_tpu import (
+    ConstraintSet,
+    PendulumPlant,
+    QuadraticCost,
+    URDFPlant,
+    UrdfCost,
+    make_mpc,
+    serial_arm,
+)
+from trajoptmpcreference_tpu.solvers.mpc import _shift_plan
+
+
+def _pendulum_ctrl(method, cset=None):
+    plant = PendulumPlant()
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    return make_mpc(plant, cost, cset, 20, 0.1, method=method)
+
+
+@pytest.mark.parametrize("method", ["iLQR", "QP-N", "QP-S", "QP-PCG-SS"])
+def test_pendulum_stabilizes(method):
+    ctrl = _pendulum_ctrl(method)
+    res = jax.jit(lambda x: ctrl.run(x, steps=50))(jnp.zeros(2))
+    assert abs(float(res.X_applied[0, -1]) - np.pi) < 1e-2, method
+    assert abs(float(res.X_applied[1, -1])) < 1e-2
+
+
+def test_constrained_mpc_respects_limits():
+    cset = ConstraintSet(1, 1, 1, 20).with_torque_limits(
+        [7.0], [-7.0], "AUGMENTED_LAGRANGIAN")
+    ctrl = _pendulum_ctrl("QP-S", cset)
+    res = jax.jit(lambda x: ctrl.run(x, steps=50))(jnp.zeros(2))
+    # AL is soft: per-step re-solves tolerate a few % transient overshoot
+    assert float(jnp.max(jnp.abs(res.U_applied))) < 7.0 * 1.05
+    assert abs(float(res.X_applied[0, -1]) - np.pi) < 5e-2
+
+
+def test_warm_start_reduces_iterations():
+    """After the transient, warm-started solves converge in far fewer
+    iterations than the cold first solve."""
+    ctrl = _pendulum_ctrl("QP-S")
+    res = jax.jit(lambda x: ctrl.run(x, steps=30))(jnp.zeros(2))
+    iters = np.asarray(res.iters)
+    assert iters[0] >= 3 * iters[1]          # cold start works much harder
+    assert (np.diff(iters[1:]) <= 0).all()   # monotone decay along transient
+    assert np.median(iters[-5:]) <= 2        # converged regime is cheap
+
+
+def test_arm_tracking():
+    robot = serial_arm(2)
+    plant = URDFPlant(robot=robot)
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    ctrl = make_mpc(plant, cost, None, 10, 0.1, method="QP-PCG-SS")
+    res = jax.jit(lambda x: ctrl.run(x, steps=40))(jnp.zeros(4))
+    from trajoptmpcreference_tpu.ops.kinematics import make_kinematics
+    kin = make_kinematics(robot)
+    ee = kin.ee_pos_xyz(res.X_applied[:2, -1])[:2]
+    assert float(jnp.linalg.norm(ee - jnp.array([0.5, 1.5]))) < 0.05
+
+
+def test_shift_plan():
+    X = jnp.arange(12.0).reshape(2, 6)
+    U = jnp.arange(5.0).reshape(1, 5)
+    Xs, Us = _shift_plan(X, U, 2)
+    np.testing.assert_allclose(np.asarray(Xs[0]), [2, 3, 4, 5, 5, 5])
+    np.testing.assert_allclose(np.asarray(Us[0]), [2, 3, 4, 4, 4])
+
+
+def test_model_mismatch_sim_plant():
+    """Controller plans with a nominal pendulum but acts on a heavier one —
+    closed loop must still stabilize (robustness of the receding horizon)."""
+    nominal = PendulumPlant(mass=1.0)
+    true = PendulumPlant(mass=1.15)
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    ctrl = make_mpc(nominal, cost, None, 20, 0.1, method="QP-S",
+                    sim_plant=true)
+    res = jax.jit(lambda x: ctrl.run(x, steps=60))(jnp.zeros(2))
+    assert abs(float(res.X_applied[0, -1]) - np.pi) < 0.05

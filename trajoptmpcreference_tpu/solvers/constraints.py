@@ -36,6 +36,20 @@ HARD_MODES = ("ACTIVE_SET", "FULL_SET")
 SOFT_MODES = ("QUADRATIC_PENALTY", "AUGMENTED_LAGRANGIAN")
 
 
+def _validate_mode(mode: str) -> str:
+    """(ref: TrajoptConstraint.py:33-51; ADMM_PROJECTION is declared but
+    unimplemented in the reference, ref: :88-91 'NOT IMPLEMENTED YET')."""
+    if mode == "ADMM_PROJECTION":
+        raise NotImplementedError(
+            "ADMM_PROJECTION is declared but not implemented (matching the "
+            "reference, ref: TrajoptConstraint.py:88-91)")
+    if mode not in HARD_MODES + SOFT_MODES:
+        raise ValueError(
+            f"Invalid constraint mode {mode!r}; options are "
+            f"{HARD_MODES + SOFT_MODES} (ref: TrajoptConstraint.py:46-51)")
+    return mode
+
+
 @dataclasses.dataclass(frozen=True)
 class BoxLimitSpec:
     """One box-constrained slice of the per-knot decision vector [x; u]."""
@@ -94,18 +108,20 @@ class ConstraintSet:
     # ---- construction ----
     def with_joint_limits(self, upper, lower, mode, **opts) -> "ConstraintSet":
         spec = BoxLimitSpec("joint", self.nq, 0, _bt(lower, self.nq),
-                            _bt(upper, self.nq), mode, self.N - 1, True, **opts)
+                            _bt(upper, self.nq), _validate_mode(mode),
+                            self.N - 1, True, **opts)
         return dataclasses.replace(self, limits=self.limits + (spec,))
 
     def with_velocity_limits(self, upper, lower, mode, **opts) -> "ConstraintSet":
         spec = BoxLimitSpec("velocity", self.nv, self.nq, _bt(lower, self.nv),
-                            _bt(upper, self.nv), mode, self.N, True, **opts)
+                            _bt(upper, self.nv), _validate_mode(mode),
+                            self.N, True, **opts)
         return dataclasses.replace(self, limits=self.limits + (spec,))
 
     def with_torque_limits(self, upper, lower, mode, **opts) -> "ConstraintSet":
         spec = BoxLimitSpec("torque", self.nu, self.nq + self.nv,
-                            _bt(lower, self.nu), _bt(upper, self.nu), mode,
-                            self.N - 1, False, **opts)
+                            _bt(lower, self.nu), _bt(upper, self.nu),
+                            _validate_mode(mode), self.N - 1, False, **opts)
         return dataclasses.replace(self, limits=self.limits + (spec,))
 
     # ---- static row counts ----
