@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
 
     backend = jax.default_backend()
-    B = int(os.environ.get("BENCH_BATCH", "256" if backend == "tpu" else "8"))
+    B = int(os.environ.get("BENCH_BATCH", "512" if backend == "tpu" else "8"))
     N = int(os.environ.get("BENCH_N", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     reps = int(os.environ.get("BENCH_REPS", "3"))

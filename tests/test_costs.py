@@ -29,6 +29,12 @@ def plant():
     return URDFPlant(robot=serial_arm(2))
 
 
+@pytest.fixture(scope="module")
+def plant_plain():
+    """Plain (non-lanes) kinematics for second-order autodiff oracles."""
+    return URDFPlant(robot=serial_arm(2), use_lanes=False)
+
+
 def test_three_implementations_agree(plant):
     """UrdfCost (general kinematics) == ArmCost (closed-form 2-link) ==
     NumericalCost (finite differences)."""
@@ -53,7 +59,8 @@ def test_gradient_matches_autodiff(plant):
     np.testing.assert_allclose(np.asarray(g[:4]), np.asarray(g_ad), atol=1e-10)
 
 
-def test_hessian_modes(plant):
+def test_hessian_modes(plant_plain):
+    plant = plant_plain
     p = UrdfCost(plant, Q, QF, R, XG).default_params
     exact = UrdfCost(plant, Q, QF, R, XG, hess_mode=1)
     gn = UrdfCost(plant, Q, QF, R, XG, hess_mode=0)

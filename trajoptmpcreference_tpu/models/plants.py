@@ -91,7 +91,7 @@ def URDFPlant(path: Optional[str] = None,
             raise ValueError("URDFPlant needs a path or a RobotModel")
         robot = parse_urdf(path)
     rbd = make_rbd(robot)
-    kin = make_kinematics(robot)
+    kin = make_kinematics(robot, use_lanes=use_lanes)
     n = robot.n
 
     if use_lanes:

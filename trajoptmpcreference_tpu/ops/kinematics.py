@@ -46,11 +46,17 @@ class Kinematics:
     djdq: Callable             # (q,) -> (k, n, n) dJ[i,j]/dq_l tensor
     jacobian_tot_state: Callable  # (q, qd) -> (2k, 2n)
     frames: Callable           # (q,) -> (p (3,), w (n,3), o (n,3))
+    plain: "Kinematics" = None  # autodiff-safe variant (self when not lanes)
+
+    def __post_init__(self):
+        if self.plain is None:
+            object.__setattr__(self, "plain", self)
 
 
 def make_kinematics(robot: RobotModel,
                     offset: Tuple[float, float, float] = (0.0, 1.0, 0.0),
-                    leaf: int = 0) -> Kinematics:
+                    leaf: int = 0,
+                    use_lanes: bool = False) -> Kinematics:
     n = robot.n
     leaf_id = robot.leaves[leaf]
     chain = list(robot.ancestors(leaf_id)) + [leaf_id]
@@ -142,7 +148,7 @@ def make_kinematics(robot: RobotModel,
         bot = jnp.concatenate([J2, J], axis=1)
         return jnp.concatenate([top, bot], axis=0)
 
-    return Kinematics(
+    plain = Kinematics(
         robot=robot,
         ee_pos_xyz=ee_pos_xyz,
         ee_pos=ee_pos,
@@ -151,3 +157,168 @@ def make_kinematics(robot: RobotModel,
         jacobian_tot_state=jacobian_tot_state,
         frames=frames,
     )
+    if not use_lanes:
+        return plain
+
+    # ------------------------------------------------- batch-minor (lanes)
+    # Same geometric recursions with a trailing lane axis L and
+    # custom_vmap folding (see ops/lanes.py for the strategy); plain
+    # variants stay available via .plain for autodiff paths (custom_vmap
+    # under jvp recurses — see lanes.py).
+    from jax.custom_batching import custom_vmap
+
+    from trajoptmpcreference_tpu.ops.lanes import _fold, _unfold
+
+    rev_m = jnp.asarray(is_rev)
+    chain_m = jnp.asarray(in_chain)
+    ordv = jnp.asarray(order)
+
+    def frames_L(q):
+        """q (n, L) -> p (3, L), w (n, 3, L), o (n, 3, L)."""
+        dtype = q.dtype
+        L = q.shape[1]
+        H = jnp.broadcast_to(jnp.eye(4, dtype=dtype)[:, :, None], (4, 4, L))
+        w_list = [jnp.zeros((3, L), dtype=dtype)] * n
+        o_list = [jnp.zeros((3, L), dtype=dtype)] * n
+        for j in chain:
+            Rw = H[:3, :3]
+            Ef_ax = np.asarray(robot.E_fixed[j]).T @ np.asarray(robot.axis[j])
+            w_list[j] = jnp.sum(
+                Rw * jnp.asarray(Ef_ax, dtype=dtype)[None, :, None], axis=1)
+            # H = H @ Hj with Hj built per-lane
+            Hj = _joint_hom_lanes(robot, j, q[j])
+            H = jnp.sum(H[:, :, None, :] * Hj[None, :, :, :], axis=1)
+            o_list[j] = H[:3, 3]
+        p = jnp.sum(H[:3, :, :] * jnp.asarray(off, dtype=dtype)[None, :, None],
+                    axis=1)
+        return p, jnp.stack(w_list), jnp.stack(o_list)
+
+    def jac_full_L(q):
+        p, w, o = frames_L(q)
+        rel = p[None, :, :] - o                       # (n, 3, L)
+        Jrev = jnp.cross(w, rel, axis=1)
+        J = jnp.where(rev_m[:, None, None], Jrev, w)
+        J = jnp.where(chain_m[:, None, None], J, 0.0)
+        return jnp.swapaxes(J, 0, 1)                  # (3, n, L)
+
+    def djdq_L(q):
+        p, w, o = frames_L(q)
+        rel = p[None, :, :] - o
+        Jf = jnp.where(rev_m[:, None, None], jnp.cross(w, rel, axis=1), w)
+        Jf = jnp.where(chain_m[:, None, None], Jf, 0.0)    # (n, 3, L)
+        wl = w[None, :, :, :]                               # [j, l, 3, L]
+        wj = w[:, None, :, :]
+        relj = rel[:, None, :, :]
+        cx = lambda a, b: jnp.cross(a, b, axis=2)
+        dJ_le = cx(cx(wl, wj), relj) + cx(wj, cx(wl, relj))
+        dJ_gt = cx(wj, Jf[None, :, :, :])
+        rev_j = rev_m[:, None, None, None]
+        rev_l = rev_m[None, :, None, None]
+        dJ_le_full = jnp.where(rev_j, dJ_le, cx(wl, wj)) * rev_l
+        dJ_gt_full = jnp.where(rev_j, dJ_gt, 0.0)
+        le = (ordv[None, :] <= ordv[:, None])[:, :, None, None]
+        dJ = jnp.where(le, dJ_le_full, dJ_gt_full)          # (j, l, 3, L)
+        mask = (chain_m[:, None, None, None] & chain_m[None, :, None, None])
+        dJ = jnp.where(mask, dJ, 0.0)
+        return jnp.transpose(dJ, (2, 0, 1, 3))[:k]          # (k, j, l, L)
+
+    def jt_L(q, qd):
+        J = jac_full_L(q)[:k]                               # (k, n, L)
+        dJ = djdq_L(q)
+        J2 = jnp.sum(dJ * qd[None, None, :, :], axis=2)     # (k, n, L)
+        Z = jnp.zeros_like(J)
+        top = jnp.concatenate([J, Z], axis=1)
+        bot = jnp.concatenate([J2, J], axis=1)
+        return jnp.concatenate([top, bot], axis=0)          # (2k, 2n, L)
+
+    def _wrap(fn_L, n_in):
+        @custom_vmap
+        def f(*args):
+            return fn_L(*args)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            folded = [
+                _fold(a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape))
+                for a, b in zip(args, in_batched)]
+            return _unfold(f(*folded), axis_size), True
+
+        return f
+
+    eeL = _wrap(lambda q: frames_L(q)[0], 1)
+    jacfullL = _wrap(jac_full_L, 1)
+    jacL = _wrap(lambda q: jac_full_L(q)[:k], 1)
+    djdqL = _wrap(djdq_L, 1)
+    jtL = _wrap(jt_L, 2)
+
+    # first-order autodiff via the geometric derivatives (jvp through the
+    # custom_vmap folding rule recurses; second order raises instead)
+    @jax.custom_jvp
+    def ee_pos_xyz_l(q):
+        return eeL(q[:, None])[:, 0]
+
+    @ee_pos_xyz_l.defjvp
+    def _ee_jvp(primals, tangents):
+        (q,), (tq,) = primals, tangents
+        out = ee_pos_xyz_l(q)
+        Jf = jacfullL(q[:, None])[:, :, 0]        # (3, n)
+        return out, Jf @ tq
+
+    def ee_pos_l(q):
+        return ee_pos_xyz_l(q)[:2]
+
+    @jax.custom_jvp
+    def jacobian_l(q):
+        return jacL(q[:, None])[:, :, 0]
+
+    @jacobian_l.defjvp
+    def _jac_jvp(primals, tangents):
+        (q,), (tq,) = primals, tangents
+        out = jacobian_l(q)
+        dJ = djdqL(q[:, None])[:, :, :, 0]        # (k, n, n)
+        return out, jnp.tensordot(dJ, tq, axes=([2], [0]))
+
+    def jt_l(q, qd):
+        return jtL(q[:, None], qd[:, None])[:, :, 0]
+
+    return dataclasses.replace(
+        plain,
+        ee_pos_xyz=ee_pos_xyz_l,
+        ee_pos=ee_pos_l,
+        jacobian=jacobian_l,
+        jacobian_tot_state=jt_l,
+        plain=plain,
+    )
+
+
+def _joint_hom_lanes(robot: RobotModel, j: int, theta):
+    """Homogeneous transform for lane vector theta (L,) -> (4, 4, L)
+    (lanes version of ops/spatial.py:139-161)."""
+    dtype = theta.dtype
+    L = theta.shape[0]
+    Ef = np.asarray(robot.E_fixed[j])
+    tf = np.asarray(robot.t_fixed[j])
+    ax = np.asarray(robot.axis[j])
+    H = jnp.zeros((4, 4, L), dtype=dtype)
+    H = H.at[3, 3].set(1.0)
+    if robot.joint_type[j] == REVOLUTE:
+        A = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                      [-ax[1], ax[0], 0]])
+        A2 = A @ A
+        st, ct = jnp.sin(theta), 1.0 - jnp.cos(theta)
+        E = (jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
+             - st[None, None, :] * jnp.asarray(A, dtype=dtype)[:, :, None]
+             + ct[None, None, :] * jnp.asarray(A2, dtype=dtype)[:, :, None])
+        # R = (E @ Ef)^T
+        REf = jnp.sum(E[:, :, None, :]
+                      * jnp.asarray(Ef, dtype=dtype)[None, :, :, None], axis=1)
+        H = H.at[:3, :3].set(jnp.swapaxes(REf, 0, 1))
+        H = H.at[:3, 3].set(jnp.asarray(tf, dtype=dtype)[:, None])
+    else:
+        H = H.at[:3, :3].set(
+            jnp.broadcast_to(jnp.asarray(Ef.T, dtype=dtype)[:, :, None],
+                             (3, 3, L)))
+        H = H.at[:3, 3].set(jnp.asarray(ax, dtype=dtype)[:, None]
+                            * theta[None, :]
+                            + jnp.asarray(tf, dtype=dtype)[:, None])
+    return H

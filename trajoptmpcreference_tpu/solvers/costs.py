@@ -178,7 +178,19 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
             Jt = _jt(q, qd)
             return (cQ @ Jt).T @ Jt
         elif hess_mode == 1:
-            return jax.jacfwd(lambda xx: _grad_x(p, xx, cQ))(x)
+            # autodiff path: must use the plain kinematics (custom_vmap
+            # lanes wrappers recurse under jvp — see ops/lanes.py)
+            kp = kin.plain
+
+            def grad_plain(xx):
+                qq, qqd = xx[:n], xx[n:]
+                Jt = kp.jacobian_tot_state(qq, qqd)
+                pos = kp.ee_pos_xyz(qq)[:kdim]
+                vel = kp.jacobian(qq) @ qqd
+                d = jnp.concatenate([pos, vel]) - p.xg
+                return (d @ cQ) @ Jt
+
+            return jax.jacfwd(grad_plain)(x)
         elif hess_mode == 2:
             g = _grad_x(p, x, cQ)
             return jnp.outer(g, g)
