@@ -181,12 +181,20 @@ def _rnea_lanes(robot, X, q, qd, qdd, gravity):
 
 def _minv_lanes(robot, X, q):
     """Analytic Minv over lanes (ops/rbd.py minv; ref: RBDReference.py:
-    805-930).  Returns dense symmetric (n, n, L)."""
+    805-930).  Returns dense symmetric (n, n, L).
+
+    Serial chains index subtrees with plain slices (subtree(i) = i..n-1) so
+    the code stays gather/scatter-free — required for the Pallas path
+    (Mosaic has no scatter) and faster under XLA too."""
     n = robot.n
     parent = robot.parent
     dtype = q.dtype
     L = q.shape[1]
-    subtrees = [np.array(robot.subtree(j), dtype=np.int64) for j in range(n)]
+    if robot.is_serial_chain():
+        subtrees = [slice(j, n) for j in range(n)]
+    else:
+        subtrees = [np.array(robot.subtree(j), dtype=np.int64)
+                    for j in range(n)]
     S = [jnp.asarray(robot.S[i], dtype=dtype) for i in range(n)]
     IA = [jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
           * jnp.ones((1, 1, L), dtype=dtype) for i in range(n)]
@@ -224,11 +232,12 @@ def _minv_lanes(robot, X, q):
         if p != -1:
             Fi = Fi + _mm(X[i], F[p][:, tail, :])
         F[i] = F[i].at[:, tail, :].set(Fi)
-    # symmetrize from the upper triangle (ref: RBDReference.py:921-928)
-    iu = np.triu_indices(n)
-    upper = jnp.zeros((n, n, L), dtype=dtype).at[iu].set(Minv[iu])
-    strict = jnp.triu(jnp.ones((n, n), dtype=bool), 1)
-    return upper + jnp.where(strict[:, :, None], upper, 0.0).transpose(1, 0, 2)
+    # symmetrize from the upper triangle (ref: RBDReference.py:921-928);
+    # static masks only (no triu_indices scatter — Mosaic-safe)
+    mask_u = jnp.asarray(np.triu(np.ones((n, n), dtype=bool)))
+    mask_s = jnp.asarray(np.triu(np.ones((n, n), dtype=bool), 1))
+    upper = jnp.where(mask_u[:, :, None], Minv, 0.0)
+    return upper + jnp.where(mask_s[:, :, None], upper, 0.0).transpose(1, 0, 2)
 
 
 def _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v, a, f_acc):
