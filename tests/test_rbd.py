@@ -232,3 +232,15 @@ def test_geometric_kinematics_match_autodiff():
         dJ_ad = jax.jacfwd(lambda qq: jax.jacfwd(kin.ee_pos_xyz)(qq)[: min(3, n)])(q)
         np.testing.assert_allclose(np.asarray(kin.djdq(q)),
                                    np.asarray(dJ_ad), atol=1e-12)
+
+
+def test_d2jdq2_matches_autodiff():
+    """Exact d2J/dq2 vs double-jacfwd oracle (reference only has the 2-link
+    shortcut, ref: RBDReference.py:273-315)."""
+    robot = serial_arm(3)
+    kin = make_kinematics(robot)
+    q = jnp.array(np.random.default_rng(9).standard_normal(3))
+    dd = kin.d2jdq2(q)                      # (k, n, n, n)
+    dd_ad = jax.jacfwd(jax.jacfwd(jax.jacfwd(
+        lambda qq: kin.ee_pos_xyz(qq)[:3])))(q)
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(dd_ad), atol=1e-11)

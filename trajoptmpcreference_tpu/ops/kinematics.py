@@ -44,6 +44,7 @@ class Kinematics:
     ee_pos: Callable           # (q,) -> (2,) reference-parity planar slice
     jacobian: Callable         # (q,) -> (k, n), k = min(3, n)
     djdq: Callable             # (q,) -> (k, n, n) dJ[i,j]/dq_l tensor
+    d2jdq2: Callable           # (q,) -> (k, n, n, n) d2J/dq2 tensor
     jacobian_tot_state: Callable  # (q, qd) -> (2k, 2n)
     frames: Callable           # (q,) -> (p (3,), w (n,3), o (n,3))
     plain: "Kinematics" = None  # autodiff-safe variant (self when not lanes)
@@ -148,12 +149,19 @@ def make_kinematics(robot: RobotModel,
         bot = jnp.concatenate([J2, J], axis=1)
         return jnp.concatenate([top, bot], axis=0)
 
+    def d2jdq2(q):
+        """Second q-derivative of the task Jacobian, exact via jacfwd of the
+        geometric dJ/dq (replaces the reference's 2-link-only shortcut,
+        ref: RBDReference.py:273-315)."""
+        return jax.jacfwd(djdq)(q)
+
     plain = Kinematics(
         robot=robot,
         ee_pos_xyz=ee_pos_xyz,
         ee_pos=ee_pos,
         jacobian=jacobian,
         djdq=djdq,
+        d2jdq2=d2jdq2,
         jacobian_tot_state=jacobian_tot_state,
         frames=frames,
     )

@@ -20,6 +20,11 @@ from trajoptmpcreference_tpu.parallel.horizon import (
     sharded_btd_matvec,
     sharded_pcg,
 )
+from trajoptmpcreference_tpu.parallel.multihost import (
+    global_mesh,
+    initialize,
+    process_local_batch,
+)
 
 __all__ = [
     "batch_solve",
@@ -27,4 +32,7 @@ __all__ = [
     "shard_solve",
     "sharded_btd_matvec",
     "sharded_pcg",
+    "global_mesh",
+    "initialize",
+    "process_local_batch",
 ]
