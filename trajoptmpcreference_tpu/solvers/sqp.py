@@ -53,7 +53,13 @@ class SQPOptions:
     rho_init: float = 1e-3
     expected_reduction_min: float = 0.05
     expected_reduction_max: float = 3.0
-    merit_mu: float = 10.0            # hardcoded in the reference (ref: :546)
+    # L1 merit weight.  The reference computes mu = J/c then overrides it
+    # with 10 (ref: TrajoptMPCReference.py:545-546); 10 is kept as the
+    # parity default, but it under-weights feasibility when J >> 10*c
+    # (large horizons/weights) and the line search then trades violation
+    # for cost.  Set merit_mu=0 for the adaptive balance the reference
+    # computed and discarded: mu = J0 / c0 (10 when c0 = 0).
+    merit_mu: float = 10.0
     exit_tolerance_linSys: float = 1e-6
     max_iter_linSys: int = 100
     exit_tolerance_soft: float = 1e-6
@@ -149,11 +155,22 @@ class SQPSolver:
         return dxu, lam, stats.pcg_iters, jnp.array(False)
 
     # ----------------------------------------------------------- line search
-    def line_search(self, X, U, dxu, J, c, merit, xs, cost_params, cstate):
+    def merit_weight(self, J0, c0):
+        """L1 merit weight: the parity constant, or (merit_mu = 0) the
+        adaptive J0/c0 the reference computes then discards
+        (ref: TrajoptMPCReference.py:545-546)."""
+        o = self.options
+        if o.merit_mu > 0:
+            return jnp.asarray(o.merit_mu, J0.dtype)
+        return jnp.where(c0 != 0, J0 / jnp.maximum(c0, 1e-12), 10.0)
+
+    def line_search(self, X, U, dxu, J, c, merit, xs, cost_params, cstate,
+                    mu=None):
         """(ref: TrajoptMPCReference.py:606-744)."""
         o = self.options
         nx, nu = self.plant.nx, self.plant.nu
-        mu = o.merit_mu
+        if mu is None:
+            mu = jnp.asarray(o.merit_mu if o.merit_mu > 0 else 10.0, X.dtype)
         dX = dxu[:, :nx].T          # (nx, N)
         dU = dxu[:-1, nx:].T        # (nu, N-1)
 
@@ -211,7 +228,8 @@ class SQPSolver:
         dtype = X.dtype
         J0 = self.total_cost(X, U, cost_params, cstate)
         c0 = self.total_violation(X, U, xs)
-        merit0 = J0 + o.merit_mu * c0
+        mu = self.merit_weight(J0, c0)
+        merit0 = J0 + mu * c0
         if guess0 is None:
             guess0 = jnp.zeros((self.N, self.kkt.bs), dtype=dtype)
 
@@ -232,7 +250,7 @@ class SQPSolver:
             dxu, lam, pcg_iters, singular = self.solve_qp(
                 s.X, s.U, xs, cost_params, cstate, s.rho, s.guess)
             ls = self.line_search(s.X, s.U, dxu, s.J, s.c, s.merit,
-                                  xs, cost_params, cstate)
+                                  xs, cost_params, cstate, mu=mu)
             accepted = ls.accepted
             error = ~accepted
             X1 = jnp.where(accepted, ls.Xc, s.X)

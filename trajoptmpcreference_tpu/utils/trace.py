@@ -64,7 +64,8 @@ def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
 
     J0 = solver.total_cost(x0, u0, cost_params, cstate)
     c0 = solver.total_violation(x0, u0, xs)
-    merit0 = J0 + o.merit_mu * c0
+    mu = solver.merit_weight(J0, c0)
+    merit0 = J0 + mu * c0
     guess0 = jnp.zeros((solver.N, solver.kkt.bs), dtype=dtype)
 
     class S(NamedTuple):
@@ -93,7 +94,7 @@ def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
         dxu, lam, pcg_iters, singular = solver.solve_qp(
             s.X, s.U, xs, cost_params, cstate, s.rho, s.guess)
         ls = solver.line_search(s.X, s.U, dxu, s.J, s.c, s.merit,
-                                xs, cost_params, cstate)
+                                xs, cost_params, cstate, mu=mu)
         live = ~s.done
         accepted = ls.accepted & live
         error = ~ls.accepted
