@@ -193,12 +193,18 @@ class PCGResult(NamedTuple):
 
 def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
         guess: Optional[jnp.ndarray] = None,
-        exit_tolerance: float = 1e-6, max_iter: int = 100) -> PCGResult:
+        exit_tolerance: float = 1e-6, max_iter: int = 100,
+        relative: bool = False) -> PCGResult:
     """Preconditioned conjugate gradient on a block-tridiagonal system.
 
     Loop semantics match the reference (ref: PCG.py:66-111): nu = r^T Pinv r,
     exit on |nu'| < tol, fixed max_iter bound, warm start via ``guess``
     (ref: PCG.py:33, the MPC warm-start hook).
+
+    relative: exit on |nu'| < tol * |nu_0| instead of the reference's
+    absolute test — scale-invariant, essential in f32 when residual norms
+    range over many decades (an absolute 1e-4 exit produces garbage
+    directions at |gamma| ~ 1e6 and the SQP line search wedges).
     """
     dtype = b.dtype
     x0 = jnp.zeros_like(b) if guess is None else guess
@@ -207,6 +213,14 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
     p0 = rt0
     nu0 = jnp.vdot(r0, rt0)
     trace0 = jnp.zeros(max_iter + 1, dtype=dtype).at[0].set(jnp.abs(nu0))
+    thr = (exit_tolerance * jnp.abs(nu0) if relative
+           else jnp.asarray(exit_tolerance, dtype))
+    # already-converged warm start: without this the first iteration divides
+    # by pAp = 0 and poisons the solve with NaN.  NB with a warm start
+    # |nu0| is already small, so the relative threshold keeps a floor.
+    if relative:
+        thr = jnp.maximum(thr, 1e-30)
+    done0 = jnp.abs(nu0) <= thr
 
     def cond(state):
         _, _, _, nu, it, done, _ = state
@@ -216,18 +230,18 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
         x, r, p, nu, it, done, trace = state
         Ap = btd_matvec(A, p)
         pAp = jnp.vdot(p, Ap)
-        alpha = nu / pAp
+        alpha = nu / jnp.where(pAp != 0, pAp, 1.0)
         r_new = r - alpha * Ap
         x_new = x + alpha * p
         rt = btd_matvec(Pinv, r_new)
         nu_new = jnp.vdot(r_new, rt)
         trace = trace.at[it + 1].set(jnp.abs(nu_new))
-        done_new = jnp.abs(nu_new) < exit_tolerance
+        done_new = jnp.abs(nu_new) <= thr
         beta = nu_new / nu
         p_new = rt + beta * p
         return (x_new, r_new, p_new, nu_new, it + 1, done_new, trace)
 
-    init = (x0, r0, p0, nu0, jnp.array(0), jnp.array(False), trace0)
+    init = (x0, r0, p0, nu0, jnp.array(0), done0, trace0)
     x, r, p, nu, it, done, trace = jax.lax.while_loop(cond, body, init)
     return PCGResult(x=x, iters=it, nu_trace=trace, converged=done)
 

@@ -82,6 +82,7 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
     r0 = b - _matvec(diag, upper, x0)
     rt0 = apply_P(r0)
     nu0 = dot(r0, rt0)
+    done0 = jnp.all(jnp.abs(nu0) < tol)     # NaN guard (see btridiag.pcg)
 
     def cond(state):
         _, _, _, nu, it, done = state
@@ -91,7 +92,7 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
         x, r, p, nu, it, _ = state
         Ap = _matvec(diag, upper, p)
         pAp = dot(p, Ap)
-        alpha = nu / pAp                             # (BT,)
+        alpha = nu / jnp.where(pAp != 0, pAp, 1.0)   # (BT,)
         x = x + alpha[None, None, :] * p
         r = r - alpha[None, None, :] * Ap
         rt = apply_P(r)
@@ -101,7 +102,7 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
         p = rt + beta[None, None, :] * p
         return (x, r, p, nu_new, it + 1, done)
 
-    init = (x0, r0, rt0, nu0, jnp.zeros((), jnp.int32), jnp.array(False))
+    init = (x0, r0, rt0, nu0, jnp.zeros((), jnp.int32), done0)
     x, r, p, nu, it, done = jax.lax.while_loop(cond, body, init)
     x_ref[:] = x
     iters_ref[:] = jnp.full(iters_ref.shape, it, jnp.int32)  # (1, BT)

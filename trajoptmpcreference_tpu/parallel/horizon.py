@@ -156,6 +156,7 @@ def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,
     r0 = b - sharded_btd_matvec(A, x0, ax)
     rt0 = sharded_btd_matvec(Pinv, r0, ax)
     nu0 = _pvdot(r0, rt0, ax)
+    done0 = jnp.abs(nu0) < exit_tolerance   # NaN guard (see btridiag.pcg)
 
     def cond(state):
         _, _, _, nu, it, done = state
@@ -164,7 +165,8 @@ def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,
     def body(state):
         x, r, p, nu, it, done = state
         Ap = sharded_btd_matvec(A, p, ax)
-        alpha = nu / _pvdot(p, Ap, ax)
+        pAp = _pvdot(p, Ap, ax)
+        alpha = nu / jnp.where(pAp != 0, pAp, 1.0)
         r_new = r - alpha * Ap
         x_new = x + alpha * p
         rt = sharded_btd_matvec(Pinv, r_new, ax)
@@ -173,6 +175,6 @@ def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,
         p_new = rt + (nu_new / nu) * p
         return (x_new, r_new, p_new, nu_new, it + 1, done_new)
 
-    init = (x0, r0, rt0, nu0, jnp.array(0), jnp.array(False))
+    init = (x0, r0, rt0, nu0, jnp.array(0), done0)
     x, r, p, nu, it, done = jax.lax.while_loop(cond, body, init)
     return ShardedPCGResult(x=x, iters=it, converged=done)

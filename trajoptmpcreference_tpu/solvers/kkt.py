@@ -246,14 +246,16 @@ class KKTSystem:
                     pcg_tol: float = 1e-6,
                     pcg_max_iter: int = 100,
                     precond: str = "SS",
-                    guess: Optional[jnp.ndarray] = None):
+                    guess: Optional[jnp.ndarray] = None,
+                    pcg_relative: bool = False):
         """Schur-complement solve, exact (block-Thomas) or PCG
         (ref: TrajoptMPCReference.py:361-455)."""
         S, gam, invG, E, F = self.schur_blocks(blocks, rho)
         if use_pcg:
             Pinv = preconditioner(S, precond)
             res = pcg(S, gam, Pinv, guess=guess,
-                      exit_tolerance=pcg_tol, max_iter=pcg_max_iter)
+                      exit_tolerance=pcg_tol, max_iter=pcg_max_iter,
+                      relative=pcg_relative)
             lam = res.x
             stats = SchurSolveStats(res.iters, res.converged)
         else:

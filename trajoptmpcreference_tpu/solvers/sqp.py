@@ -62,6 +62,9 @@ class SQPOptions:
     merit_mu: float = 10.0
     exit_tolerance_linSys: float = 1e-6
     max_iter_linSys: int = 100
+    # scale-invariant PCG exit (|nu| < tol*|nu0|); the reference's absolute
+    # test (ref: PCG.py:102) is kept when False — see ops/btridiag.pcg
+    pcg_relative: bool = False
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
 
@@ -151,7 +154,8 @@ class SQPSolver:
             pcg_tol=self.options.exit_tolerance_linSys,
             pcg_max_iter=self.options.max_iter_linSys,
             precond=precond,
-            guess=guess if use_pcg else None)
+            guess=guess if use_pcg else None,
+            pcg_relative=self.options.pcg_relative)
         return dxu, lam, stats.pcg_iters, jnp.array(False)
 
     # ----------------------------------------------------------- line search
