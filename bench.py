@@ -67,15 +67,18 @@ def main():
         times.append(time.perf_counter() - t0)
     solves_per_s = B * steps / min(times)
 
-    # sanity: the closed loop must actually track (median final EE error)
+    # sanity: the closed loop must actually track (median final EE error
+    # over scenarios that stayed finite, plus the finite fraction)
     q_final = res.X_applied[:, :6, -1]
     ee = jax.vmap(lambda q: plant.kinematics.ee_pos_xyz(q)[:2])(q_final)
-    err = jnp.linalg.norm(ee - goals[:, :2], axis=1)
-    med_err = float(jnp.median(err))
+    err = np.asarray(jnp.linalg.norm(ee - goals[:, :2], axis=1))
+    finite = np.isfinite(err)
+    med_err = float(np.median(err[finite])) if finite.any() else float("nan")
 
     print(json.dumps({
         "metric": (f"6-DoF arm N={N} warm-started SQP-PCG MPC solves/s/chip "
-                   f"({backend}, B={B}, median EE err {med_err:.3f} m)"),
+                   f"({backend}, B={B}, median EE err {med_err:.3f} m, "
+                   f"{int(finite.sum())}/{B} stable)"),
         "value": round(solves_per_s, 2),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / 625.0, 4),
