@@ -353,11 +353,50 @@ def _unfold(a, B):
     return jnp.moveaxis(a, -1, 0)
 
 
-def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81):
+def _pallas_fd_grad(robot: RobotModel, gravity: float, q, qd, u,
+                    block_l: int = 128):
+    """EXPERIMENTAL: fd_grad_lanes as ONE Pallas kernel per lane tile (the
+    whole RNEA + Minv + 4-pass gradient pipeline in VMEM instead of XLA's
+    many fused-kernel hops).  Shapes (n, L) -> (n, 3n, L).
+
+    Blocked on: Pallas requires captured arrays be kernel INPUTS, and the
+    lanes algorithms materialize ~100 small robot-constant arrays via
+    jnp.asarray — threading them through as stacked inputs is the round-2
+    refactor (see memory notes).  Until then this raises at trace time and
+    callers fall back to the XLA lanes path."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = robot.n
+    L = q.shape[1]
+
+    def kernel(q_ref, qd_ref, u_ref, out_ref):
+        out_ref[:] = fd_grad_lanes(robot, q_ref[:], qd_ref[:], u_ref[:],
+                                   gravity)
+
+    in_spec = pl.BlockSpec((n, block_l), lambda g: (0, g),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n, 3 * n, block_l), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(L // block_l,),
+        in_specs=[in_spec, in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3 * n, L), q.dtype),
+    )(q, qd, u)
+
+
+def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81,
+                   use_pallas: bool = False):
     """Lane-folding fd / fd_grad with per-sample signatures.
 
     Returns (fd1, fd_grad1): fd1(q (n,), qd, u) -> (n,);
     fd_grad1 -> (n, 3n).  Any level of vmap folds into the lane axis.
+    use_pallas: route fd_grad through the fused Pallas kernel when the
+    folded lane count divides by 128 on TPU (XLA lanes path otherwise).
     """
 
     def _bc(a, batched, B):
@@ -377,6 +416,12 @@ def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81):
 
     @custom_vmap
     def fdg_L(q, qd, u):
+        if (use_pallas and jax.default_backend() == "tpu"
+                and q.shape[1] % 128 == 0):
+            try:
+                return _pallas_fd_grad(robot, gravity, q, qd, u)
+            except ValueError:
+                pass              # captured-constant limitation; fall back
         return fd_grad_lanes(robot, q, qd, u, gravity)
 
     @fdg_L.def_vmap
