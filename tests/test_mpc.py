@@ -85,3 +85,26 @@ def test_model_mismatch_sim_plant():
                     sim_plant=true)
     res = jax.jit(lambda x: ctrl.run(x, steps=60))(jnp.zeros(2))
     assert abs(float(res.X_applied[0, -1]) - np.pi) < 0.05
+
+
+def test_long_horizon_stability_f64():
+    """300-step closed loop on the flagship 6-DoF config stays finite and
+    tracks (f64 CPU; the f32 gap is documented in README/bench — this
+    guards the solver itself against regressions like the PCG 0/0 NaN)."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_mpc
+
+    plant, cost, ctrl = _flagship_mpc(N=64, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(0.1 * rng.standard_normal(12))
+    goal = jnp.asarray([3.0, 2.0, 0.0, 0.0, 0.0, 0.0])
+    cp = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64),
+        cost.default_params._replace(xg=goal))
+    res = jax.jit(lambda x: ctrl.run(x, steps=300, cost_params=cp))(x0)
+    X = np.asarray(res.X_applied)
+    assert np.isfinite(X).all()
+    ee = plant.kinematics.ee_pos_xyz(res.X_applied[:6, -1])[:2]
+    err = float(jnp.linalg.norm(ee - goal[:2]))
+    assert err < 0.5, err
