@@ -19,7 +19,7 @@ All functions are single-system; vmap for scenario batches.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

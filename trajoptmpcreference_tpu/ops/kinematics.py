@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trajoptmpcreference_tpu.models.robot import PRISMATIC, REVOLUTE, RobotModel
+from trajoptmpcreference_tpu.models.robot import REVOLUTE, RobotModel
 from trajoptmpcreference_tpu.ops.spatial import joint_hom_transform
 
 

@@ -21,14 +21,12 @@ operations up to reassociation); cross-validated in tests/test_lanes.py.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.custom_batching import custom_vmap
 
-from trajoptmpcreference_tpu.models.robot import PRISMATIC, REVOLUTE, RobotModel
+from trajoptmpcreference_tpu.models.robot import REVOLUTE, RobotModel
 
 
 # ---------------------------------------------------------------- helpers

@@ -15,11 +15,9 @@ sharded program, riding ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -27,7 +27,7 @@ reference's own jacobian differentiates.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np

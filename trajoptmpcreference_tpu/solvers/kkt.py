@@ -24,7 +24,7 @@ unit-diagonal entries so every knot has uniform shape.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from trajoptmpcreference_tpu.models.plants import Plant
 from trajoptmpcreference_tpu.ops.btridiag import (
     BlockTridiag,
     btd_block_thomas,
-    btd_dense,
     pcg,
     preconditioner,
     _bmm,

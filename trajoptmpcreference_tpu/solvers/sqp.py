@@ -16,8 +16,7 @@ scale across meshes via shard_map (parallel/).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

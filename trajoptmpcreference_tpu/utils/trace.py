@@ -15,7 +15,7 @@ writes one trace row — the shape of the reference's RETURN_TRACE_SQP output.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
