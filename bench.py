@@ -35,7 +35,8 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_mpc
 
-    plant, cost, ctrl = _flagship_mpc(N=N)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas)
     nx = plant.nx
     dtype = jnp.float32
 

@@ -108,46 +108,129 @@ def _crf_m(v, A):
     return -_mmTm(_crm(v), A)
 
 
-def _joint_X(robot, j, theta):
+from typing import NamedTuple
+
+
+class LaneConsts(NamedTuple):
+    """Stacked per-robot constant arrays, passed as traced inputs so the
+    algorithms contain NO array constants (a Pallas kernel requirement)."""
+
+    S: jnp.ndarray        # (n, 6, 1)
+    I6: jnp.ndarray       # (n, 6, 6)
+    Xf: jnp.ndarray       # (n, 6, 6)
+    A: jnp.ndarray        # (n, 3, 3) axis skews
+    A2: jnp.ndarray       # (n, 3, 3)
+    crmS: jnp.ndarray     # (n, 6, 6)
+    damping: jnp.ndarray  # (1, n)
+
+
+def lane_consts(robot: RobotModel, dtype) -> LaneConsts:
+    n = robot.n
+    A = np.zeros((n, 3, 3))
+    crmS = np.zeros((n, 6, 6))
+    for j in range(n):
+        ax = np.asarray(robot.axis[j])
+        A[j] = [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+        s0, s1, s2, s3, s4, s5 = np.asarray(robot.S[j])
+        crmS[j, :3, :3] = [[0, -s2, s1], [s2, 0, -s0], [-s1, s0, 0]]
+        crmS[j, 3:, 3:] = crmS[j, :3, :3]
+        crmS[j, 3:, :3] = [[0, -s5, s4], [s5, 0, -s3], [-s4, s3, 0]]
+    return LaneConsts(
+        S=jnp.asarray(robot.S, dtype)[..., None],   # (n, 6, 1): rank-1
+        # sublane vectors hit unsupported shape casts in Mosaic
+        I6=jnp.asarray(robot.I_spatial, dtype),
+        Xf=jnp.asarray(robot.X_fixed, dtype),
+        A=jnp.asarray(A, dtype),
+        A2=jnp.asarray(A @ A, dtype),
+        crmS=jnp.asarray(crmS, dtype),
+        damping=jnp.asarray(robot.damping, dtype)[None, :],
+    )
+
+
+def _eye(k, dtype):
+    """Identity without an array constant (iota compare — Mosaic-safe)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (r == c).astype(dtype)
+
+
+def _triu_mask(k, strict, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return ((r < c) if strict else (r <= c)).astype(dtype)
+
+
+def _onehot(n, i, dtype):
+    """(n,) one-hot without array constants (Mosaic-safe)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    return (idx == i).astype(dtype)
+
+
+def _gvec(gravity, L, dtype):
+    """Gravity spatial vector (6, L) = -g on row 5, scatter-free."""
+    return jnp.concatenate(
+        [jnp.zeros((5, L), dtype=dtype),
+         jnp.full((1, L), -gravity, dtype=dtype)], axis=0)
+
+
+def _smat(M2, A):
+    """(6, 6) traced matrix @ (6, k, L) via scalar-unrolled rows — avoids
+    unit-minor 4-D vector layouts Mosaic cannot infer."""
+    return jnp.stack([
+        sum(M2[r, j] * A[j] for j in range(6)) for r in range(6)])
+
+
+def _addcol(A, i, v):
+    """A (6, n, L) with v (6, L) added to column i — scatter-free
+    (every .at[...] update lowers to a scatter Mosaic cannot compile)."""
+    oh = _onehot(A.shape[1], i, A.dtype)
+    return A + oh[None, :, None] * v[:, None, :]
+
+
+def _pad_rows(v, i, n):
+    """(s, L) -> (n, L): zeros in rows < i, v in rows i..n-1.
+
+    i = 0 short-circuits: Mosaic rejects zero-size vectors."""
+    if i == 0:
+        return v
+    return jnp.concatenate(
+        [jnp.zeros((i,) + v.shape[1:], v.dtype), v], axis=0)
+
+
+def _joint_X(robot, j, theta, C: LaneConsts):
     """Spatial transform X_j(theta) for lane vector theta (L,) -> (6,6,L)
     (ops/spatial.py:105-122)."""
     dtype = theta.dtype
-    ax = np.asarray(robot.axis[j])
-    A = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
-    A2 = A @ A
-    Xf = jnp.asarray(robot.X_fixed[j], dtype=dtype)
+    Xf = C.Xf[j]
     L = theta.shape[0]
+    I3 = jnp.broadcast_to(_eye(3, dtype)[:, :, None], (3, 3, L))
     if robot.joint_type[j] == REVOLUTE:
         st, ct = jnp.sin(theta), 1.0 - jnp.cos(theta)
-        E = (jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
-             - st[None, None, :] * jnp.asarray(A, dtype=dtype)[:, :, None]
-             + ct[None, None, :] * jnp.asarray(A2, dtype=dtype)[:, :, None])
+        E = (I3 - st[None, None, :] * C.A[j][:, :, None]
+             + ct[None, None, :] * C.A2[j][:, :, None])
         Z = jnp.zeros((3, 3, L), dtype=dtype)
         Xfree = jnp.concatenate([
             jnp.concatenate([E, Z], axis=1),
             jnp.concatenate([Z, E], axis=1)], axis=0)
     else:
-        K = jnp.asarray(A, dtype=dtype)[:, :, None] * theta[None, None, :]
-        I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
+        K = C.A[j][:, :, None] * theta[None, None, :]
         Z = jnp.zeros((3, 3, L), dtype=dtype)
         Xfree = jnp.concatenate([
             jnp.concatenate([I3, Z], axis=1),
             jnp.concatenate([-K, I3], axis=1)], axis=0)
-    # X = Xfree @ Xf  (Xf static)
     return jnp.sum(Xfree[:, :, None, :] * Xf[None, :, :, None], axis=1)
 
 
 # ------------------------------------------------------------- algorithms
-def _rnea_lanes(robot, X, q, qd, qdd, gravity):
+def _rnea_lanes(robot, X, q, qd, qdd, gravity, C: LaneConsts):
     """RNEA over lanes; returns (c (n,L), v, a, f lists, f_acc list)."""
     n = robot.n
     parent = robot.parent
     dtype = q.dtype
     L = q.shape[1]
-    g = jnp.zeros((6, L), dtype=dtype).at[5].set(-gravity)
-    S = [jnp.asarray(robot.S[i], dtype=dtype)[:, None] for i in range(n)]
-    I6 = [jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
-          for i in range(n)]
+    g = _gvec(gravity, L, dtype)
+    S = [C.S[i] for i in range(n)]                    # (6, 1) each
+    I6 = [C.I6[i][:, :, None] for i in range(n)]
     v, a, f = [], [], []
     for i in range(n):
         Si = S[i]
@@ -169,15 +252,15 @@ def _rnea_lanes(robot, X, q, qd, qdd, gravity):
     f_acc = list(f)
     c = [None] * n
     for i in range(n - 1, -1, -1):
-        c[i] = jnp.sum(jnp.asarray(robot.S[i], dtype=dtype)[:, None]
-                       * f_acc[i], axis=0)
+        # scalar-unrolled S contraction (no low-rank shape casts in Mosaic)
+        c[i] = sum(C.S[i][j, 0] * f_acc[i][j] for j in range(6))
         p = parent[i]
         if p != -1:
             f_acc[p] = f_acc[p] + _mmTv(X[i], f_acc[i])
     return jnp.stack(c), v, a, f_acc
 
 
-def _minv_lanes(robot, X, q):
+def _minv_lanes(robot, X, q, C: LaneConsts):
     """Analytic Minv over lanes (ops/rbd.py minv; ref: RBDReference.py:
     805-930).  Returns dense symmetric (n, n, L).
 
@@ -188,14 +271,14 @@ def _minv_lanes(robot, X, q):
     parent = robot.parent
     dtype = q.dtype
     L = q.shape[1]
-    if robot.is_serial_chain():
+    serial = robot.is_serial_chain()
+    if serial:
         subtrees = [slice(j, n) for j in range(n)]
     else:
         subtrees = [np.array(robot.subtree(j), dtype=np.int64)
                     for j in range(n)]
-    S = [jnp.asarray(robot.S[i], dtype=dtype) for i in range(n)]
-    IA = [jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
-          * jnp.ones((1, 1, L), dtype=dtype) for i in range(n)]
+    S = [C.S[i] for i in range(n)]                    # (6, 1) each
+    IA = [jnp.broadcast_to(C.I6[i][:, :, None], (6, 6, L)) for i in range(n)]
     Minv = jnp.zeros((n, n, L), dtype=dtype)
     F = [jnp.zeros((6, n, L), dtype=dtype) for _ in range(n)]
     U = [None] * n
@@ -203,90 +286,93 @@ def _minv_lanes(robot, X, q):
     for i in range(n - 1, -1, -1):
         Si = S[i]
         sub = subtrees[i]
-        U[i] = jnp.sum(IA[i] * Si[None, :, None], axis=1)      # (6, L)
-        Dinv[i] = 1.0 / jnp.sum(Si[:, None] * U[i], axis=0)    # (L,)
-        Minv = Minv.at[i, i].set(Dinv[i])
-        SF = jnp.sum(Si[:, None, None] * F[i][:, sub, :], axis=0)  # (s, L)
-        Minv = Minv.at[i, sub].add(-Dinv[i][None, :] * SF)
+        U[i] = sum(Si[j, 0] * IA[i][:, j, :] for j in range(6))  # (6, L)
+        Dinv[i] = 1.0 / sum(Si[j, 0] * U[i][j] for j in range(6))  # (L,)
+        # row-i update, scatter-free: one-hot row x (diag + subtree) content
+        SF = sum(Si[j, 0] * F[i][j, sub, :] for j in range(6))   # (s, L)
+        row = (_onehot(n, i, dtype)[:, None] * Dinv[i][None, :]
+               + _pad_rows(-Dinv[i][None, :] * SF,
+                           sub.start if serial else int(sub[0]), n))
+        Minv = Minv + _onehot(n, i, dtype)[:, None, None] * row[None, :, :]
         p = parent[i]
         if p != -1:
-            F[i] = F[i].at[:, sub, :].add(U[i][:, None, :]
-                                          * Minv[i, sub][None, :, :])
-            F[p] = F[p].at[:, sub, :].add(_mmTm(X[i], F[i][:, sub, :]))
+            # Minv row i is nonzero only on sub; add the full row product
+            F[i] = F[i] + U[i][:, None, :] * Minv[i][None, :, :]
+            F[p] = F[p] + _mmTm(X[i], F[i])
             Ia = IA[i] - (U[i][:, None, :] * (Dinv[i][None, None, :]
                                               * U[i][None, :, :]))
             IA[p] = IA[p] + _mmTm(X[i], _mm(Ia, X[i]))
     for i in range(n):
         Si = S[i]
         p = parent[i]
-        tail = np.arange(i, n)
+        tail = slice(i, n) if serial else np.arange(i, n)
         if p != -1:
-            UX = _mmTv(jnp.swapaxes(X[i], 0, 1), U[i])  # (U^T X)? see below
             # U[i] @ X[i]: row vector times matrix -> (6, L)
             UX = jnp.sum(U[i][:, None, :] * X[i], axis=0)
             contrib = jnp.sum(UX[:, None, :] * F[p][:, tail, :], axis=0)
-            Minv = Minv.at[i, tail].add(-Dinv[i][None, :] * contrib)
-        Fi = Si[:, None, None] * Minv[i, tail][None, :, :]
+            add_row = _pad_rows(-Dinv[i][None, :] * contrib,
+                                tail.start if serial else int(tail[0]), n)
+            Minv = Minv + _onehot(n, i, dtype)[:, None, None] * add_row[None]
+        Fi = Si[:, :, None] * Minv[i, tail][None, :, :]
         if p != -1:
             Fi = Fi + _mm(X[i], F[p][:, tail, :])
-        F[i] = F[i].at[:, tail, :].set(Fi)
+        # static-split concatenate: any .at[..., slice, ...] update lowers
+        # to a scatter Mosaic rejects (i = 0: no leading block to keep)
+        if serial:
+            F[i] = Fi if i == 0 else jnp.concatenate(
+                [F[i][:, :i, :], Fi], axis=1)
+        else:
+            F[i] = F[i].at[:, tail, :].set(Fi)
     # symmetrize from the upper triangle (ref: RBDReference.py:921-928);
-    # static masks only (no triu_indices scatter — Mosaic-safe)
-    mask_u = jnp.asarray(np.triu(np.ones((n, n), dtype=bool)))
-    mask_s = jnp.asarray(np.triu(np.ones((n, n), dtype=bool), 1))
-    upper = jnp.where(mask_u[:, :, None], Minv, 0.0)
-    return upper + jnp.where(mask_s[:, :, None], upper, 0.0).transpose(1, 0, 2)
+    # iota masks only (no array constants / scatters — Mosaic-safe)
+    upper = _triu_mask(n, False, dtype)[:, :, None] * Minv
+    lower = (_triu_mask(n, True, dtype)[:, :, None] * upper).transpose(1, 0, 2)
+    return upper + lower
 
 
-def _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v, a, f_acc):
+def _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v, a, f_acc,
+                     C: LaneConsts):
     """Analytic d tau / d [q, qd] over lanes -> (n, 2n, L)
     (ops/rbd.py rnea_grad; ref: RBDReference.py:561-802)."""
     n = robot.n
     parent = robot.parent
     dtype = q.dtype
     L = q.shape[1]
-    g = jnp.zeros((6, L), dtype=dtype).at[5].set(-gravity)
+    g = _gvec(gravity, L, dtype)
     dv_dq, da_dq, df_dq = [], [], []
     dv_dqd, da_dqd, df_dqd = [], [], []
     for i in range(n):
-        Si_s = np.asarray(robot.S[i])
-        Si = jnp.asarray(Si_s, dtype=dtype)[:, None]
-        I6 = jnp.asarray(robot.I_spatial[i], dtype=dtype)[:, :, None]
-        crmS = np.zeros((6, 6))
-        # crm of the static S vector
-        s0, s1, s2, s3, s4, s5 = Si_s
-        crmS[:3, :3] = [[0, -s2, s1], [s2, 0, -s0], [-s1, s0, 0]]
-        crmS[3:, 3:] = crmS[:3, :3]
-        crmS[3:, :3] = [[0, -s5, s4], [s5, 0, -s3], [-s4, s3, 0]]
+        Si = C.S[i]                                   # (6, 1)
+        I6 = C.I6[i][:, :, None]
+        crmS = C.crmS[i]
         p = parent[i]
         if p == -1:
             dv = jnp.zeros((6, n, L), dtype=dtype)
             da = jnp.zeros((6, n, L), dtype=dtype)
-            da = da.at[:, i].add(_crm_v(_mm(X[i], g),
-                                        jnp.broadcast_to(Si, (6, L))))
+            da = _addcol(da, i, _crm_v(_mm(X[i], g),
+                                       jnp.broadcast_to(Si, (6, L))))
             dvd = jnp.zeros((6, n, L), dtype=dtype)
             dad = jnp.zeros((6, n, L), dtype=dtype)
         else:
             dv = _mm(X[i], dv_dq[p])
-            dv = dv.at[:, i].add(_crm_v(_mm(X[i], v[p]),
-                                        jnp.broadcast_to(Si, (6, L))))
+            dv = _addcol(dv, i, _crm_v(_mm(X[i], v[p]),
+                                       jnp.broadcast_to(Si, (6, L))))
             da = _mm(X[i], da_dq[p])
-            da = da.at[:, i].add(_crm_v(_mm(X[i], a[p]),
-                                        jnp.broadcast_to(Si, (6, L))))
+            da = _addcol(da, i, _crm_v(_mm(X[i], a[p]),
+                                       jnp.broadcast_to(Si, (6, L))))
             dvd = _mm(X[i], dv_dqd[p])
             dad = _mm(X[i], da_dqd[p])
-        da = da - qd[i][None, None, :] * _sm(crmS, dv)
-        dvd = dvd.at[:, i].add(Si)
-        dad = dad - qd[i][None, None, :] * _sm(crmS, dvd)
-        dad = dad.at[:, i].add(_crm_v(v[i], jnp.broadcast_to(Si, (6, L))))
+        da = da - qd[i][None, None, :] * _smat(crmS, dv)
+        dvd = _addcol(dvd, i, jnp.broadcast_to(Si, (6, L)))
+        dad = dad - qd[i][None, None, :] * _smat(crmS, dvd)
+        dad = _addcol(dad, i, _crm_v(v[i], jnp.broadcast_to(Si, (6, L))))
+        I6m = C.I6[i]                                 # (6, 6) traced
         Iv = jnp.sum(I6 * v[i][None, :, :], axis=1)
         icrfIv = _icrf(Iv)
-        Idv = jnp.sum(I6[:, :, None, :] * dv[None, :, :, :], axis=1)
-        Idvd = jnp.sum(I6[:, :, None, :] * dvd[None, :, :, :], axis=1)
-        df = (jnp.sum(I6[:, :, None, :] * da[None, :, :, :], axis=1)
-              + _mm(icrfIv, dv) + _crf_m(v[i], Idv))
-        dfd = (jnp.sum(I6[:, :, None, :] * dad[None, :, :, :], axis=1)
-               + _mm(icrfIv, dvd) + _crf_m(v[i], Idvd))
+        Idv = _smat(I6m, dv)
+        Idvd = _smat(I6m, dvd)
+        df = _smat(I6m, da) + _mm(icrfIv, dv) + _crf_m(v[i], Idv)
+        dfd = _smat(I6m, dad) + _mm(icrfIv, dvd) + _crf_m(v[i], Idvd)
         dv_dq.append(dv)
         da_dq.append(da)
         df_dq.append(df)
@@ -296,43 +382,45 @@ def _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v, a, f_acc):
     dc_dq = [None] * n
     dc_dqd = [None] * n
     for i in range(n - 1, -1, -1):
-        Si = jnp.asarray(robot.S[i], dtype=dtype)
-        dc_dq[i] = jnp.sum(Si[:, None, None] * df_dq[i], axis=0)    # (n, L)
-        dc_dqd[i] = jnp.sum(Si[:, None, None] * df_dqd[i], axis=0)
+        Si = C.S[i]
+        dc_dq[i] = sum(Si[j, 0] * df_dq[i][j] for j in range(6))    # (n, L)
+        dc_dqd[i] = sum(Si[j, 0] * df_dqd[i][j] for j in range(6))
         p = parent[i]
         if p != -1:
             upd = _mmTm(X[i], df_dq[i])
-            fxS = -_crm_v(f_acc[i], jnp.broadcast_to(Si[:, None], (6, q.shape[1])))
-            upd = upd.at[:, i].add(_mmTv(X[i], fxS))
+            fxS = -_crm_v(f_acc[i], jnp.broadcast_to(Si, (6, q.shape[1])))
+            upd = _addcol(upd, i, _mmTv(X[i], fxS))
             df_dq[p] = df_dq[p] + upd
             df_dqd[p] = df_dqd[p] + _mmTm(X[i], df_dqd[i])
     out_q = jnp.stack(dc_dq)            # (n, n, L)
     out_qd = jnp.stack(dc_dqd)
     if np.any(robot.damping):
-        dmp = jnp.asarray(np.diag(robot.damping), dtype=dtype)
+        dmp = _eye(n, dtype) * C.damping[0][None, :]
         out_qd = out_qd + dmp[:, :, None]
     return jnp.concatenate([out_q, out_qd], axis=1)   # (n, 2n, L)
 
 
-def fd_lanes(robot: RobotModel, q, qd, u, gravity=-9.81):
+def fd_lanes(robot: RobotModel, q, qd, u, gravity=-9.81, consts=None):
     """qdd = Minv (u - c) over lanes; args (n, L) -> (n, L)."""
     n = robot.n
-    X = [_joint_X(robot, j, q[j]) for j in range(n)]
-    c, _, _, _ = _rnea_lanes(robot, X, q, qd, None, gravity)
-    Mi = _minv_lanes(robot, X, q)
+    C = lane_consts(robot, q.dtype) if consts is None else consts
+    X = [_joint_X(robot, j, q[j], C) for j in range(n)]
+    c, _, _, _ = _rnea_lanes(robot, X, q, qd, None, gravity, C)
+    Mi = _minv_lanes(robot, X, q, C)
     return jnp.sum(Mi * (u - c)[None, :, :], axis=1)
 
 
-def fd_grad_lanes(robot: RobotModel, q, qd, u, gravity=-9.81):
+def fd_grad_lanes(robot: RobotModel, q, qd, u, gravity=-9.81, consts=None):
     """dqdd/d[q, qd, u] over lanes -> (n, 3n, L) (ops/rbd.py fd_grad)."""
     n = robot.n
-    X = [_joint_X(robot, j, q[j]) for j in range(n)]
-    c, v, a_unused, f0 = _rnea_lanes(robot, X, q, qd, None, gravity)
-    Mi = _minv_lanes(robot, X, q)
+    C = lane_consts(robot, q.dtype) if consts is None else consts
+    X = [_joint_X(robot, j, q[j], C) for j in range(n)]
+    c, v, a_unused, f0 = _rnea_lanes(robot, X, q, qd, None, gravity, C)
+    Mi = _minv_lanes(robot, X, q, C)
     qdd = jnp.sum(Mi * (u - c)[None, :, :], axis=1)
     # rerun rnea WITH qdd for the gradient's (v, a, f_acc)
-    c2, v2, a2, facc2 = _rnea_lanes(robot, X, q, qd, qdd, gravity)
-    dtau = _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v2, a2, facc2)
+    c2, v2, a2, facc2 = _rnea_lanes(robot, X, q, qd, qdd, gravity, C)
+    dtau = _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v2, a2, facc2, C)
     # dqdd = [-Mi dtau, Mi]
     dfx = -jnp.sum(Mi[:, :, None, :] * dtau[None, :, :, :], axis=1)
     return jnp.concatenate([dfx, Mi], axis=1)         # (n, 3n, L)
@@ -352,39 +440,45 @@ def _unfold(a, B):
 
 
 def _pallas_fd_grad(robot: RobotModel, gravity: float, q, qd, u,
-                    block_l: int = 128):
-    """EXPERIMENTAL: fd_grad_lanes as ONE Pallas kernel per lane tile (the
-    whole RNEA + Minv + 4-pass gradient pipeline in VMEM instead of XLA's
-    many fused-kernel hops).  Shapes (n, L) -> (n, 3n, L).
+                    block_l: int = 128, interpret: bool = False):
+    """fd_grad_lanes as ONE Pallas kernel per lane tile: the whole
+    RNEA + Minv + 4-pass gradient pipeline stays in VMEM instead of XLA's
+    many fused-kernel hops.  Shapes (n, L) -> (n, 3n, L).
 
-    Blocked on: Pallas requires captured arrays be kernel INPUTS, and the
-    lanes algorithms materialize ~100 small robot-constant arrays via
-    jnp.asarray — threading them through as stacked inputs is the round-2
-    refactor (see memory notes).  Until then this raises at trace time and
-    callers fall back to the XLA lanes path."""
-    import functools
-
+    Pallas requires captured arrays be kernel inputs, and the lanes
+    algorithms materialize ~100 small robot-constant arrays via
+    jnp.asarray; ``jax.closure_convert`` lifts them all into explicit
+    arguments, streamed in as full-array VMEM blocks (a few KB total).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = robot.n
     L = q.shape[1]
+    C = lane_consts(robot, q.dtype)
 
-    def kernel(q_ref, qd_ref, u_ref, out_ref):
+    def kernel(q_ref, qd_ref, u_ref, *refs):
+        const_refs = refs[:-1]
+        out_ref = refs[-1]
+        Ck = LaneConsts(*(r[:] for r in const_refs))
         out_ref[:] = fd_grad_lanes(robot, q_ref[:], qd_ref[:], u_ref[:],
-                                   gravity)
+                                   gravity, consts=Ck)
 
     in_spec = pl.BlockSpec((n, block_l), lambda g: (0, g),
                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, (lambda nd: lambda g: (0,) * nd)(c.ndim),
+                                memory_space=pltpu.VMEM)
+                   for c in C]
     out_spec = pl.BlockSpec((n, 3 * n, block_l), lambda g: (0, 0, g),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(L // block_l,),
-        in_specs=[in_spec, in_spec, in_spec],
+        in_specs=[in_spec, in_spec, in_spec] + const_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, 3 * n, L), q.dtype),
-    )(q, qd, u)
+        interpret=interpret,
+    )(q, qd, u, *C)
 
 
 def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81,
