@@ -71,3 +71,20 @@ def test_custom_vmap_folding(setup):
                 np.asarray(nested[b, k]),
                 np.asarray(rbd.fd_grad(Q[b, k], QD[b, k], UU[b, k])),
                 atol=1e-10)
+
+
+def test_pallas_fd_grad_interpret():
+    """The fused Pallas fd_grad kernel (interpreter mode on CPU; the
+    compiled path is validated on real TPU) matches the XLA lanes path to
+    f32 roundoff."""
+    robot = serial_arm(6)
+    rng = np.random.default_rng(11)
+    L = 256
+    q = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
+    qd = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
+    u = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
+    ref = lanes.fd_grad_lanes(robot, q, qd, u)
+    out = lanes._pallas_fd_grad(robot, -9.81, q, qd, u, block_l=128,
+                                interpret=True)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4
