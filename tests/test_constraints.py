@@ -151,3 +151,38 @@ def test_limits_enforced_end_to_end(mode):
     assert float(jnp.max(jnp.abs(res.U))) < 7.0 + 0.05, mode
     # and still reach the goal region
     assert abs(float(res.X[0, -1]) - np.pi) < 0.4
+
+
+def test_terminal_joint_violation_drives_updates():
+    """A violation ONLY at the terminal knot must register in
+    max_soft_violation and drive the AL update at column N-1 (round-1
+    advisor finding: joint limits carried N-1 columns, so terminal
+    violations were invisible to the outer AL loop)."""
+    nq = nv = nu = 2
+    N = 6
+    cs = (ConstraintSet(nq, nv, nu, N)
+          .with_joint_limits(1.0, -1.0, "AUGMENTED_LAGRANGIAN"))
+    spec = cs.limits[0]
+    assert spec.num_timesteps == N          # terminal column exists
+    state = cs.init_state()
+    X = jnp.zeros((nq + nv, N))
+    X = X.at[0, N - 1].set(1.5)             # violate ub only at k = N-1
+    U = jnp.zeros((nu, N - 1))
+    # the violation is visible to the convergence check
+    assert float(C.max_soft_violation(cs, state, X, U)) == pytest.approx(0.5)
+    # ... and to the hyperparameter update at the terminal column
+    new_state, at_max = C.update_all_soft(cs, state, X, U)
+    assert not bool(at_max)
+    mu0 = float(spec.mu_init)
+    mu = np.asarray(new_state[0].mu)
+    # ub row of joint 0 (rows are [lb x nq, ub x nq] -> index nq + 0)
+    assert mu[nq + 0, N - 1] == pytest.approx(mu0 * spec.mu_factor)
+    # no other column was touched
+    assert np.all(mu[:, :N - 1] == mu0)
+    # terminal value/jacobian index the real column, not a clamped one
+    v = C.term_soft_value(cs, state, X[:, N - 1], jnp.asarray(N - 1))
+    assert float(v) == pytest.approx(mu0 * 0.5**2)
+    g = C.term_soft_jacobian(cs, state, X[:, N - 1], jnp.asarray(N - 1))
+    g_ad = jax.grad(lambda x: C.term_soft_value(
+        cs, state, x, jnp.asarray(N - 1)))(X[:, N - 1])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-12)

@@ -10,12 +10,14 @@ ref_compat=True the iterates are identical in exact arithmetic).
 Notes on what CAN'T have goldens (all verified against the snapshot):
   * Canonical plants (pendulum/cartpole/double integrator): dropped from the
     snapshot (ref: __init__.py:1 imports classes that no longer exist).
-  * Constrained solves: BoxConstraint.value builds a (2, s) matrix via
+  * SOFT-constrained solves: BoxConstraint.value builds a (2, s) matrix via
     np.vstack((delta_lb, delta_ub)) and dots it with a (2s,) mu vector
-    (ref: TrajoptConstraint.py:57-81), which raises for s >= 2; every
-    surviving plant has nq = nv = nu >= 2, so no constrained configuration
-    is runnable in the reference.  Constraint semantics are instead
-    unit-tested against the reference formulas in test_constraints.py.
+    (ref: TrajoptConstraint.py:76-81), which raises for every surviving
+    plant (nu >= 2) — executed proof committed as
+    golden/arm2_S_AL_traceback.txt.  Soft semantics are instead unit-tested
+    against the reference formulas in test_constraints.py.
+    HARD (ACTIVE_SET) solves DO run in the reference; their golden is
+    arm2_S_active_set.npz, covered by test_hard_constrained_controls below.
   * PCG-SS end-to-end: the reference run exits at max_iter (exit 3) with a
     long tail of line-search failures — its PCG solves are inexact and the
     SQP iterates become chaotic, so bit-parity is not meaningful; we check
@@ -70,6 +72,34 @@ def test_controls_match_reference(method, fixture):
     np.testing.assert_allclose(np.asarray(res.X), gold["x"], atol=1e-4)
     # we actually track the reference iterates to roundoff
     assert np.abs(np.asarray(res.U) - gold["u"]).max() < 1e-9
+
+
+def test_hard_constrained_controls_match_reference():
+    """Hard ACTIVE_SET torque limits (+/-0.2 on both controls): controls
+    must match the reference run (tests/golden/generate.py
+    arm2_S_active_set; ref: TrajoptConstraint.py:64-68,99-113)."""
+    from trajoptmpcreference_tpu.solvers.constraints import ConstraintSet
+
+    gold = np.load(GOLDEN / "arm2_S_active_set.npz")
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(
+        plant,
+        jnp.diag(jnp.array([1.0, 1.0, 1.0, 1.0])),
+        jnp.diag(jnp.array([100.0] * 4)),
+        0.1 * jnp.eye(2),
+        jnp.array([0.5, 1.5, 0.0, 0.0]),
+        ref_compat=True,
+    )
+    cset = ConstraintSet(2, 2, 2, N).with_torque_limits(
+        0.2, -0.2, "ACTIVE_SET")
+    opts = SQPOptions(expected_reduction_min=-100.0)
+    solver = make_sqp(plant, cost, cset, N, DT, method="S", options=opts)
+    res = jax.jit(solver.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+    assert int(res.exit_sqp) == int(gold["exit_sqp"])
+    np.testing.assert_allclose(np.asarray(res.U), gold["u"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.X), gold["x"], atol=1e-4)
+    # torque bound actually respected
+    assert np.abs(np.asarray(res.U)).max() <= 0.2 + 1e-6
 
 
 def test_pcg_behavioral_parity():

@@ -36,6 +36,12 @@ def _carr(name, arr, ctype="double"):
 
 def generate_cpp(robot: RobotModel, ee_offset=(0.0, 1.0, 0.0, 1.0)) -> str:
     n = robot.n
+    # dynamics.hpp kernels use fixed stack buffers sized TMR_MAX_N; a larger
+    # robot would silently overflow the stack
+    if n > 32:
+        raise ValueError(
+            f"native dynamics kernels support n <= 32 joints (got n = {n}); "
+            "raise TMR_MAX_N in dynamics.hpp to extend")
     parts = [
         f'#include "{_HEADER}"',
         "",

@@ -17,6 +17,9 @@
 #include <cmath>
 #include <cstring>
 
+// Max joint count the fixed stack buffers support (codegen.py validates).
+constexpr int TMR_MAX_N = 32;
+
 namespace tmr {
 
 constexpr int REVOLUTE = 0;
@@ -166,7 +169,7 @@ inline void rnea(const RobotConst& R, const double* q, const double* qd,
                  double* v_out = nullptr, double* f_out = nullptr,
                  double* X_out = nullptr) {
   const int n = R.n;
-  double X[32 * 36], v[32 * 6], a[32 * 6], f[32 * 6];
+  double X[TMR_MAX_N * 36], v[TMR_MAX_N * 6], a[TMR_MAX_N * 6], f[TMR_MAX_N * 6];
   double g[6] = {0, 0, 0, 0, 0, -gravity};
   for (int i = 0; i < n; ++i) {
     joint_X(R, i, q[i], X + 36 * i);
@@ -213,7 +216,7 @@ inline void rnea(const RobotConst& R, const double* q, const double* qd,
 // (ref: RBDReference_generalized.py:1000-1032)
 inline void crba(const RobotConst& R, const double* q, double* H) {
   const int n = R.n;
-  double X[32 * 36], IC[32 * 36];
+  double X[TMR_MAX_N * 36], IC[TMR_MAX_N * 36];
   for (int i = 0; i < n; ++i) {
     joint_X(R, i, q[i], X + 36 * i);
     std::memcpy(IC + 36 * i, R.I + 36 * i, 36 * sizeof(double));
@@ -249,7 +252,7 @@ inline void crba(const RobotConst& R, const double* q, double* H) {
 
 // Cholesky solve of H x = b (H SPD, n <= 32)
 inline void chol_solve(int n, const double* Hin, const double* b, double* x) {
-  double L[32 * 32];
+  double L[TMR_MAX_N * TMR_MAX_N];
   std::memcpy(L, Hin, n * n * sizeof(double));
   for (int j = 0; j < n; ++j) {
     for (int k = 0; k < j; ++k)
@@ -257,7 +260,7 @@ inline void chol_solve(int n, const double* Hin, const double* b, double* x) {
     double d = std::sqrt(L[n * j + j]);
     for (int i = j; i < n; ++i) L[n * i + j] /= d;
   }
-  double y[32];
+  double y[TMR_MAX_N];
   for (int i = 0; i < n; ++i) {
     double s = b[i];
     for (int k = 0; k < i; ++k) s -= L[n * i + k] * y[k];
@@ -274,7 +277,7 @@ inline void chol_solve(int n, const double* Hin, const double* b, double* x) {
 // the Python tests; ref: RBDReference.py:805-930)
 inline void minv(const RobotConst& R, const double* q, double* Mi) {
   const int n = R.n;
-  double H[32 * 32], e[32], col[32];
+  double H[TMR_MAX_N * TMR_MAX_N], e[TMR_MAX_N], col[TMR_MAX_N];
   crba(R, q, H);
   for (int j = 0; j < n; ++j) {
     std::memset(e, 0, n * sizeof(double));
@@ -288,7 +291,7 @@ inline void minv(const RobotConst& R, const double* q, double* Mi) {
 inline void fd(const RobotConst& R, const double* q, const double* qd,
                const double* u, double gravity, double* qdd) {
   const int n = R.n;
-  double c[32], H[32 * 32], rhs[32];
+  double c[TMR_MAX_N], H[TMR_MAX_N * TMR_MAX_N], rhs[TMR_MAX_N];
   rnea(R, q, qd, nullptr, gravity, c);
   crba(R, q, H);
   for (int i = 0; i < n; ++i) rhs[i] = u[i] - c[i];
@@ -301,11 +304,11 @@ inline void fd(const RobotConst& R, const double* q, const double* qd,
 inline void rnea_grad(const RobotConst& R, const double* q, const double* qd,
                       const double* qdd, double gravity, double* dtau) {
   const int n = R.n;
-  double X[32 * 36], v[32 * 6], f[32 * 6], c[32];
+  double X[TMR_MAX_N * 36], v[TMR_MAX_N * 6], f[TMR_MAX_N * 6], c[TMR_MAX_N];
   rnea(R, q, qd, qdd, gravity, c, v, f, X);
   double g[6] = {0, 0, 0, 0, 0, -gravity};
   // a per-link (recompute forward pass accelerations)
-  double a[32 * 6];
+  double a[TMR_MAX_N * 6];
   for (int i = 0; i < n; ++i) {
     const double* Si = R.S + 6 * i;
     double* ai = a + 6 * i;
@@ -319,8 +322,8 @@ inline void rnea_grad(const RobotConst& R, const double* q, const double* qd,
   }
   // forward passes: dv/dq, da/dq, df/dq and dv/dqd, da/dqd, df/dqd
   // each (6, n) per link, stored dense
-  static thread_local double dvq[32 * 6 * 32], daq[32 * 6 * 32],
-      dfq[32 * 6 * 32], dvd[32 * 6 * 32], dad[32 * 6 * 32], dfd[32 * 6 * 32];
+  static thread_local double dvq[TMR_MAX_N * 6 * TMR_MAX_N], daq[TMR_MAX_N * 6 * TMR_MAX_N],
+      dfq[TMR_MAX_N * 6 * TMR_MAX_N], dvd[TMR_MAX_N * 6 * TMR_MAX_N], dad[TMR_MAX_N * 6 * TMR_MAX_N], dfd[TMR_MAX_N * 6 * TMR_MAX_N];
   auto col = [n](double* base, int link, int r, int cidx) -> double& {
     return base[(link * 6 + r) * n + cidx];
   };
@@ -461,7 +464,7 @@ inline void rnea_grad(const RobotConst& R, const double* q, const double* qd,
 inline void fd_grad(const RobotConst& R, const double* q, const double* qd,
                     const double* u, double gravity, double* out) {
   const int n = R.n;
-  double c[32], H[32 * 32], rhs[32], qdd[32], Mi[32 * 32], dtau[32 * 64];
+  double c[TMR_MAX_N], H[TMR_MAX_N * TMR_MAX_N], rhs[TMR_MAX_N], qdd[TMR_MAX_N], Mi[TMR_MAX_N * TMR_MAX_N], dtau[TMR_MAX_N * 64];
   rnea(R, q, qd, nullptr, gravity, c);
   crba(R, q, H);
   for (int i = 0; i < n; ++i) rhs[i] = u[i] - c[i];
@@ -532,7 +535,7 @@ inline void ee_pos(const RobotConst& R, const double* q, double* out3) {
 inline void ee_jacobian(const RobotConst& R, const double* q, int kdim,
                         double* J) {
   const int n = R.n;
-  double qp[32], pp[3], pm[3];
+  double qp[TMR_MAX_N], pp[3], pm[3];
   const double h = 1e-7;
   for (int j = 0; j < n; ++j) {
     std::memcpy(qp, q, n * sizeof(double));

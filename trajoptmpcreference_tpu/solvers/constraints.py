@@ -60,7 +60,7 @@ class BoxLimitSpec:
     lower: Tuple[float, ...]
     upper: Tuple[float, ...]
     mode: str
-    num_timesteps: int   # N for velocity, N-1 for joint/torque (ref: :195,202,208)
+    num_timesteps: int   # N for joint/velocity (terminal column), N-1 for torque
     at_terminal: bool    # does this limit apply at k = N-1?
     mu_init: float = 1e-2
     mu_factor: float = 10.0
@@ -107,20 +107,31 @@ class ConstraintSet:
 
     # ---- construction ----
     def with_joint_limits(self, upper, lower, mode, **opts) -> "ConstraintSet":
+        # N columns (not the reference's N-1, ref: TrajoptConstraint.py:195):
+        # joint limits apply at the terminal knot, so the soft state must
+        # carry a column for k = N-1 — otherwise terminal violations index
+        # out of bounds and never drive the AL updates or convergence check.
         spec = BoxLimitSpec("joint", self.nq, 0, _bt(lower, self.nq),
                             _bt(upper, self.nq), _validate_mode(mode),
-                            self.N - 1, True, **opts)
-        return dataclasses.replace(self, limits=self.limits + (spec,))
-
-    def with_velocity_limits(self, upper, lower, mode, **opts) -> "ConstraintSet":
-        spec = BoxLimitSpec("velocity", self.nv, self.nq, _bt(lower, self.nv),
-                            _bt(upper, self.nv), _validate_mode(mode),
                             self.N, True, **opts)
         return dataclasses.replace(self, limits=self.limits + (spec,))
 
-    def with_torque_limits(self, upper, lower, mode, **opts) -> "ConstraintSet":
-        spec = BoxLimitSpec("torque", self.nu, self.nq + self.nv,
-                            _bt(lower, self.nu), _bt(upper, self.nu),
+    def with_velocity_limits(self, upper, lower, mode, size=None,
+                             **opts) -> "ConstraintSet":
+        size = self.nv if size is None else size
+        spec = BoxLimitSpec("velocity", size, self.nq, _bt(lower, size),
+                            _bt(upper, size), _validate_mode(mode),
+                            self.N, True, **opts)
+        return dataclasses.replace(self, limits=self.limits + (spec,))
+
+    def with_torque_limits(self, upper, lower, mode, size=None,
+                           **opts) -> "ConstraintSet":
+        """``size`` < nu constrains the first ``size`` controls — the
+        reference's semantics, where the bounds-list length IS the
+        constraint size (ref: TrajoptConstraint.py:12-19,205-208)."""
+        size = self.nu if size is None else size
+        spec = BoxLimitSpec("torque", size, self.nq + self.nv,
+                            _bt(lower, size), _bt(upper, size),
                             _validate_mode(mode), self.N - 1, False, **opts)
         return dataclasses.replace(self, limits=self.limits + (spec,))
 
@@ -356,8 +367,12 @@ def stage_hard_rows(cs: ConstraintSet, xk, uk, terminal: bool):
 
 
 def max_soft_violation(cs: ConstraintSet, state, X, U):
-    """max over limits/timesteps of |min(margin)| (ref: TrajoptConstraint.py:
-    131-136,358-367).  X: (nx, N), U: (nu, N-1)."""
+    """max over limits/timesteps of the VIOLATION |min(margin, 0)|
+    (ref: TrajoptConstraint.py:131-136,358-367 — deliberate fix: the
+    reference takes abs(min(margin)) unconditionally, so a trajectory that
+    satisfies every bound with margin m > tol reads as a 'violation' of m
+    and the soft outer loop can never declare convergence; its own comment
+    'if active value < 0' documents the intent).  X: (nx, N), U: (nu, N-1)."""
     best = jnp.zeros((), dtype=X.dtype)
     for spec in cs.soft_limits:
         if spec.kind == "torque":
@@ -368,7 +383,8 @@ def max_soft_violation(cs: ConstraintSet, state, X, U):
             Z = X[:spec.size, :spec.num_timesteps]
         lo, hi = spec.bounds(X.dtype)
         m = jnp.concatenate([Z - lo[:, None], hi[:, None] - Z])
-        best = jnp.maximum(best, jnp.max(jnp.abs(jnp.min(m, axis=0))))
+        worst = jnp.minimum(jnp.min(m, axis=0), 0.0)
+        best = jnp.maximum(best, jnp.max(jnp.abs(worst)))
     return best
 
 
