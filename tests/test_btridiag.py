@@ -1,0 +1,160 @@
+"""Block-level parity of the btridiag preconditioners and the PCG loop
+against dense NumPy oracles implementing the reference semantics
+(ref: GBD-PCG-Python/PCG.py:66-212) — the test VERDICT round 1 found
+missing (test_sqp_parity.py had cited it before it existed).
+
+Oracles are independent dense re-implementations of the reference's
+construction rules (stair inverse + symmetrization, ref: PCG.py:181-212),
+not ports of its code.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptmpcreference_tpu.ops.btridiag import (
+    BlockTridiag,
+    btd_dense,
+    btd_matvec,
+    pcg,
+    preconditioner,
+)
+
+
+def _random_btd(nblocks, bs, seed=0, dtype=np.float64):
+    """Random SPD block-tridiagonal system (diagonally dominant)."""
+    rng = np.random.default_rng(seed)
+    diag = rng.standard_normal((nblocks, bs, bs))
+    diag = diag @ diag.transpose(0, 2, 1) + (4.0 * bs) * np.eye(bs)
+    upper = 0.3 * rng.standard_normal((nblocks - 1, bs, bs))
+    b = rng.standard_normal((nblocks, bs))
+    A = BlockTridiag(jnp.asarray(diag.astype(dtype)),
+                     jnp.asarray(upper.astype(dtype)))
+    return A, jnp.asarray(b.astype(dtype))
+
+
+def _dense(A: BlockTridiag) -> np.ndarray:
+    return np.asarray(btd_dense(A))
+
+
+# --------------------------------------------------------------- oracles
+
+def _oracle_pinv(Ad: np.ndarray, bs: int, ptype: str) -> np.ndarray:
+    """Dense preconditioner construction per the reference's rules
+    (ref: PCG.py:113-212)."""
+    n = Ad.shape[0] // bs
+    sl = lambda k: slice(k * bs, (k + 1) * bs)
+    if ptype == "0":
+        return np.eye(Ad.shape[0])
+    if ptype == "J":
+        return np.linalg.inv(np.diag(np.diag(Ad)))
+    Pinv = np.zeros_like(Ad)
+    if ptype == "BJ":
+        for k in range(n):
+            Pinv[sl(k), sl(k)] = np.linalg.inv(Ad[sl(k), sl(k)])
+        return Pinv
+    assert ptype == "SS"
+    # stair inverse: diagonal inverses everywhere; odd rows own their left
+    # off-diagonal; the even row after an odd one fills that odd row's right
+    for k in range(n):
+        Pinv[sl(k), sl(k)] = np.linalg.inv(Ad[sl(k), sl(k)])
+        if k % 2 == 1:
+            Pinv[sl(k), sl(k - 1)] = -(
+                Pinv[sl(k), sl(k)] @ Ad[sl(k), sl(k - 1)] @ Pinv[sl(k - 1), sl(k - 1)])
+        elif k > 0:
+            Pinv[sl(k - 1), sl(k)] = -(
+                Pinv[sl(k - 1), sl(k - 1)] @ Ad[sl(k - 1), sl(k)] @ Pinv[sl(k), sl(k)])
+    # symmetrize from the odd blocks
+    for k in range(n):
+        if k % 2 == 1:
+            Pinv[sl(k - 1), sl(k)] = Pinv[sl(k), sl(k - 1)].T
+            if k < n - 1:
+                Pinv[sl(k + 1), sl(k)] = Pinv[sl(k), sl(k + 1)].T
+    return Pinv
+
+
+def _oracle_pcg(Ad, bd, Pinvd, tol, max_iter):
+    """Dense PCG with the reference's loop order and absolute nu exit
+    (ref: PCG.py:66-111).  Returns (x, nu_trace, iters)."""
+    x = np.zeros_like(bd)
+    r = bd - Ad @ x
+    rt = Pinvd @ r
+    p = rt
+    nu = r @ rt
+    trace = [abs(nu)]
+    iters = 0
+    for _ in range(max_iter):
+        Ap = Ad @ p
+        alpha = nu / (p @ Ap)
+        r = r - alpha * Ap
+        x = x + alpha * p
+        rt = Pinvd @ r
+        nu_prime = r @ rt
+        trace.append(abs(nu_prime))
+        iters += 1
+        if abs(nu_prime) < tol:
+            break
+        p = rt + (nu_prime / nu) * p
+        nu = nu_prime
+    return x, np.array(trace), iters
+
+
+# ----------------------------------------------------------------- tests
+
+@pytest.mark.parametrize("nblocks", [2, 5, 6, 7])
+@pytest.mark.parametrize("ptype", ["0", "J", "BJ", "SS"])
+def test_preconditioner_blocks_match_dense_oracle(nblocks, ptype):
+    """Even AND odd block counts: the SS stair pattern alternates parity
+    (ref: PCG.py:181-212)."""
+    bs = 4
+    A, _ = _random_btd(nblocks, bs, seed=nblocks)
+    ours = _dense(preconditioner(A, ptype))
+    oracle = _oracle_pinv(_dense(A), bs, ptype)
+    np.testing.assert_allclose(ours, oracle, atol=1e-12)
+
+
+def test_ss_preconditioner_offdiag_structure():
+    """SS keeps every adjacent off-diagonal pair (the symmetrize step covers
+    both parities), and no farther blocks."""
+    A, _ = _random_btd(6, 3, seed=9)
+    P = _dense(preconditioner(A, "SS"))
+    bs = 3
+    for i in range(6):
+        for j in range(6):
+            blk = P[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs]
+            if abs(i - j) > 1:
+                assert np.all(blk == 0.0), (i, j)
+            else:
+                assert np.any(blk != 0.0), (i, j)
+
+
+@pytest.mark.parametrize("ptype", ["0", "J", "BJ", "SS"])
+def test_pcg_iterate_trace_parity(ptype):
+    """Identical nu history and iteration count vs the dense oracle at a
+    fixed seed (exact-arithmetic parity of the loop, not just the answer)."""
+    nblocks, bs, tol, max_iter = 7, 4, 1e-10, 60
+    A, b = _random_btd(nblocks, bs, seed=3)
+    Pinv = preconditioner(A, ptype)
+    res = pcg(A, b, Pinv, exit_tolerance=tol, max_iter=max_iter)
+    x_o, trace_o, iters_o = _oracle_pcg(
+        _dense(A), np.asarray(b).ravel(),
+        _oracle_pinv(_dense(A), bs, ptype), tol, max_iter)
+    assert int(res.iters) == iters_o
+    np.testing.assert_allclose(np.asarray(res.x).ravel(), x_o,
+                               rtol=1e-9, atol=1e-12)
+    ours_trace = np.asarray(res.nu_trace)[:iters_o + 1]
+    np.testing.assert_allclose(ours_trace, trace_o, rtol=1e-9)
+    # and it actually solved the system (nu ~ |r|^2: tol 1e-10 => |r| ~ 1e-5)
+    resid = np.asarray(b - btd_matvec(A, res.x))
+    assert np.max(np.abs(resid)) < 1e-4
+
+
+def test_pcg_warm_start_matches_reference_hook():
+    """guess=x* converges immediately (ref: PCG.py:33 update_guess)."""
+    A, b = _random_btd(6, 4, seed=5)
+    Pinv = preconditioner(A, "SS")
+    x_star = pcg(A, b, Pinv, exit_tolerance=1e-12, max_iter=200).x
+    res = pcg(A, b, Pinv, guess=x_star, exit_tolerance=1e-10, max_iter=50)
+    assert int(res.iters) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_star),
+                               atol=1e-9)

@@ -112,3 +112,65 @@ def test_batch_and_shard_solve():
     res_s = jax.jit(shard_solve(solver, mesh))(x0s, u0s, cps)
     np.testing.assert_allclose(np.asarray(res_s.U), np.asarray(res_v.U),
                                atol=1e-10)
+
+
+def test_horizon_sharded_sqp_solve_matches_unsharded():
+    """FULL SQP solve with the Schur/PCG phase horizon-sharded over an
+    8-device mesh axis (kkt.solve_schur_sharded inside the solver loop, the
+    reference's solveKKTSystem_Schur integration point,
+    ref: TrajoptMPCReference.py:437-445) vs the single-device solver:
+    controls must match to 1e-6."""
+    from trajoptmpcreference_tpu.models.plants import URDFPlant
+    from trajoptmpcreference_tpu.models.urdf import serial_arm
+    from trajoptmpcreference_tpu.solvers.costs import UrdfCost
+    from trajoptmpcreference_tpu.solvers.sqp import SQPOptions
+
+    N, dt = 16, 0.05
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    opts = SQPOptions(expected_reduction_min=-100.0, max_iter=12,
+                      exit_tolerance_linSys=1e-10, max_iter_linSys=60)
+    base = make_sqp(plant, cost, None, N, dt, method="PCG-SS", options=opts)
+    mesh = make_mesh((8,), ("horizon",))
+    sharded = make_sqp(plant, cost, None, N, dt, method="PCG-SS",
+                       options=opts, mesh=mesh)
+
+    x0 = jnp.zeros((4, N))
+    u0 = jnp.zeros((2, N - 1))
+    res_b = jax.jit(base.solve)(x0, u0)
+    res_s = jax.jit(sharded.solve)(x0, u0)
+    assert int(res_s.exit_sqp) == int(res_b.exit_sqp)
+    assert int(res_s.sqp_iters) == int(res_b.sqp_iters)
+    np.testing.assert_allclose(np.asarray(res_s.U), np.asarray(res_b.U),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_s.X), np.asarray(res_b.X),
+                               atol=1e-6)
+
+
+def test_horizon_sharded_solve_with_hard_constraints():
+    """Sharded Schur path with active-set rows in the KKT (bs = nx + m)."""
+    from trajoptmpcreference_tpu.models.plants import URDFPlant
+    from trajoptmpcreference_tpu.models.urdf import serial_arm
+    from trajoptmpcreference_tpu.solvers.constraints import ConstraintSet
+    from trajoptmpcreference_tpu.solvers.costs import UrdfCost
+    from trajoptmpcreference_tpu.solvers.sqp import SQPOptions
+
+    N, dt = 16, 0.05
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    cset = ConstraintSet(2, 2, 2, N).with_torque_limits(
+        0.5, -0.5, "ACTIVE_SET")
+    opts = SQPOptions(expected_reduction_min=-100.0, max_iter=10,
+                      exit_tolerance_linSys=1e-10, max_iter_linSys=80)
+    base = make_sqp(plant, cost, cset, N, dt, method="PCG-SS", options=opts)
+    mesh = make_mesh((4,), ("horizon",))
+    sharded = make_sqp(plant, cost, cset, N, dt, method="PCG-SS",
+                       options=opts, mesh=mesh)
+    x0 = jnp.zeros((4, N))
+    u0 = jnp.zeros((2, N - 1))
+    res_b = jax.jit(base.solve)(x0, u0)
+    res_s = jax.jit(sharded.solve)(x0, u0)
+    np.testing.assert_allclose(np.asarray(res_s.U), np.asarray(res_b.U),
+                               atol=1e-6)

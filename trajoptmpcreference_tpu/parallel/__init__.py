@@ -19,6 +19,7 @@ from trajoptmpcreference_tpu.parallel.batch import (
 from trajoptmpcreference_tpu.parallel.horizon import (
     sharded_btd_matvec,
     sharded_pcg,
+    sharded_schur_solve,
 )
 from trajoptmpcreference_tpu.parallel.multihost import (
     global_mesh,
@@ -32,6 +33,7 @@ __all__ = [
     "shard_solve",
     "sharded_btd_matvec",
     "sharded_pcg",
+    "sharded_schur_solve",
     "global_mesh",
     "initialize",
     "process_local_batch",

@@ -143,20 +143,94 @@ class ShardedPCGResult(NamedTuple):
     converged: jnp.ndarray
 
 
+def sharded_schur_solve(E, F, rhs, D, G, g, guess, ax: str, *,
+                        precond: str = "SS",
+                        exit_tolerance: float = 1e-6,
+                        max_iter: int = 100,
+                        relative: bool = False):
+    """Horizon-sharded Schur-complement solve — the SQP integration point
+    (ref: solveKKTSystem_Schur, TrajoptMPCReference.py:417-455), partitioned
+    over the 'ax' mesh axis.
+
+    Must run INSIDE shard_map with every input REPLICATED (the KKT blocks
+    are O(N (n^2 + bs n)) — cheap to replicate); the O(N n^3) inverse /
+    assembly work and the PCG iterations are partitioned: each device owns
+    L = N/P consecutive knots, neighbor coupling moves over single-block
+    ppermute halos, dot products psum over ICI.
+
+    Layout (see kkt.KKTSystem._EF): row group k has jacobian E_k over knot
+    k-1 vars and F_k over knot k vars; S_kk = D_k - E_k invG_{k-1} E_k^T -
+    F_k invG_k F_k^T, S_{k,k+1} = -F_k invG_k E_{k+1}^T,
+    gamma_k = rhs_k - E_k invG_{k-1} g_{k-1} - F_k invG_k g_k.
+
+    Returns replicated (dxu (N, n), lam (N, bs), iters, converged).
+    """
+    P = jax.lax.axis_size(ax)
+    p = jax.lax.axis_index(ax)
+    N = G.shape[0]
+    assert N % P == 0, (N, P)
+    L = N // P
+    g0 = p * L
+    loc = lambda a: jax.lax.dynamic_slice_in_dim(a, g0, L, 0)
+    Gl, gl, El, Fl, rhsl, Dl, guessl = map(
+        loc, (G, g, E, F, rhs, D, guess))
+
+    invGl = _inv_blocks(Gl)
+    # neighbor halos: left neighbor's last (invG, g) row; right neighbor's
+    # first E row (zeros at the global boundaries)
+    invG_left, _ = _halo_exchange(invGl, ax)
+    g_left, _ = _halo_exchange(gl, ax)
+    _, E_right = _halo_exchange(El, ax)
+    invG_prev = jnp.concatenate([invG_left[None], invGl[:-1]], axis=0)
+    g_prev = jnp.concatenate([g_left[None], gl[:-1]], axis=0)
+    E_next = jnp.concatenate([El[1:], E_right[None]], axis=0)
+
+    ElT = jnp.swapaxes(El, -1, -2)
+    FlT = jnp.swapaxes(Fl, -1, -2)
+    E_nextT = jnp.swapaxes(E_next, -1, -2)
+    # E_0 = 0 globally, so the k=0 row's EiE/gamma terms vanish on device 0
+    EiE = _bmm(_bmm(El, invG_prev), ElT)
+    FiF = _bmm(_bmm(Fl, invGl), FlT)
+    Sd = jax.vmap(jnp.diag)(Dl) - FiF - EiE
+    So = -_bmm(_bmm(Fl, invGl), E_nextT)   # zero at the last global row
+    So_left, _ = _halo_exchange(So, ax)
+    S_sh = ShardedBTD(Sd, So, So_left[None])
+    gam = (rhsl - _bmv(Fl, _bmv(invGl, gl))
+           - _bmv(El, _bmv(invG_prev, g_prev)))
+
+    res = sharded_pcg(S_sh, gam, ax, precond=precond, guess=guessl,
+                      exit_tolerance=exit_tolerance, max_iter=max_iter,
+                      relative=relative)
+    lam_l = res.x
+    # dxu_k = invG_k (g_k - F_k^T lam_k - E_{k+1}^T lam_{k+1})
+    _, lam_right = _halo_exchange(lam_l, ax)
+    lam_next = jnp.concatenate([lam_l[1:], lam_right[None]], axis=0)
+    dxu_l = _bmv(invGl, gl - _bmv_T(Fl, lam_l) - _bmv_T(E_next, lam_next))
+    dxu = jax.lax.all_gather(dxu_l, ax, tiled=True)
+    lam = jax.lax.all_gather(lam_l, ax, tiled=True)
+    return dxu, lam, res.iters, res.converged
+
+
 def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,
                 precond: str = "SS",
                 guess: Optional[jnp.ndarray] = None,
                 exit_tolerance: float = 1e-6,
-                max_iter: int = 100) -> ShardedPCGResult:
+                max_iter: int = 100,
+                relative: bool = False) -> ShardedPCGResult:
     """Horizon-sharded PCG: identical iterates to ops.btridiag.pcg, with
     halo-exchange matvecs and psum dot products (ref loop semantics:
-    PCG.py:66-111)."""
+    PCG.py:66-111).  ``relative`` matches ops.btridiag.pcg's
+    scale-invariant exit (essential in f32)."""
     Pinv = sharded_preconditioner(A, precond, ax)
     x0 = jnp.zeros_like(b) if guess is None else guess
     r0 = b - sharded_btd_matvec(A, x0, ax)
     rt0 = sharded_btd_matvec(Pinv, r0, ax)
     nu0 = _pvdot(r0, rt0, ax)
-    done0 = jnp.abs(nu0) < exit_tolerance   # NaN guard (see btridiag.pcg)
+    thr = (exit_tolerance * jnp.abs(nu0) if relative
+           else jnp.asarray(exit_tolerance, b.dtype))
+    if relative:
+        thr = jnp.maximum(thr, 1e-30)
+    done0 = jnp.abs(nu0) <= thr   # NaN/warm-start guard (see btridiag.pcg)
 
     def cond(state):
         _, _, _, nu, it, done = state
@@ -171,7 +245,7 @@ def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,
         x_new = x + alpha * p
         rt = sharded_btd_matvec(Pinv, r_new, ax)
         nu_new = _pvdot(r_new, rt, ax)
-        done_new = jnp.abs(nu_new) < exit_tolerance
+        done_new = jnp.abs(nu_new) <= thr
         p_new = rt + (nu_new / nu) * p
         return (x_new, r_new, p_new, nu_new, it + 1, done_new)
 

@@ -31,6 +31,15 @@ class Cost:
     stage_hessian: Callable    # (params, x, u, k) -> (nx+nu, nx+nu)
     term_hessian: Callable     # (params, x, k) -> (nx, nx)
     default_params: Any
+    # Cancellation-safe cost differences (f32 accuracy in the merit
+    # acceptance test): stage(xc,uc) - stage(x,u) computed WITHOUT forming
+    # the two large values first.  For the quadratic-residual costs here,
+    # 0.5 rc'Q rc - 0.5 r'Q r = 0.5 (rc - r)'Q (rc + r) — the subtraction
+    # happens between O(residual)-magnitude quantities, not O(J) ones, so
+    # near convergence the difference keeps ~7 significant digits in f32
+    # instead of none.  None => callers fall back to value subtraction.
+    stage_value_diff: Optional[Callable] = None  # (p, x, u, xc, uc, k) -> scalar
+    term_value_diff: Optional[Callable] = None   # (p, x, xc, k) -> scalar
 
 
 class QuadraticCostParams(NamedTuple):
@@ -38,6 +47,12 @@ class QuadraticCostParams(NamedTuple):
     QF: jnp.ndarray
     R: jnp.ndarray
     xg: jnp.ndarray
+
+
+def _quad_diff(Q, r, rc):
+    """0.5 rc'Q rc - 0.5 r'Q r, evaluated as 0.5 (rc-r)'Q (rc+r) (Q
+    symmetric) — cancellation-safe in f32 (see Cost.stage_value_diff)."""
+    return 0.5 * ((rc - r) @ Q @ (rc + r))
 
 
 def _currQ(params, k, QF_start, terminal):
@@ -84,8 +99,19 @@ def QuadraticCost(Q, QF, R, xg, QF_start: Optional[int] = None) -> Cost:
     def term_hessian(p, x, k):
         return p.QF
 
+    def stage_value_diff(p, x, u, xc, uc, k):
+        cQ = _currQ(p, k, QF_start, False)
+        # residual difference is exactly xc - x (xg cancels analytically)
+        return (0.5 * ((xc - x) @ cQ @ ((xc - p.xg) + (x - p.xg)))
+                + _quad_diff(p.R, u, uc))
+
+    def term_value_diff(p, x, xc, k):
+        return 0.5 * ((xc - x) @ p.QF @ ((xc - p.xg) + (x - p.xg)))
+
     return Cost(nx, nu, stage_value, term_value, stage_gradient,
-                term_gradient, stage_hessian, term_hessian, params0)
+                term_gradient, stage_hessian, term_hessian, params0,
+                stage_value_diff=stage_value_diff,
+                term_value_diff=term_value_diff)
 
 
 def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
@@ -209,8 +235,18 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
     def term_hessian(p, x, k):
         return _hess_x(p, x, p.QF)
 
+    def stage_value_diff(p, x, u, xc, uc, k):
+        cQ = _currQ(p, k, QF_start, False)
+        return (_quad_diff(cQ, delta_x(p, x), delta_x(p, xc))
+                + _quad_diff(p.R, u, uc))
+
+    def term_value_diff(p, x, xc, k):
+        return _quad_diff(p.QF, delta_x(p, x), delta_x(p, xc))
+
     return Cost(nx, nu, stage_value, term_value, stage_gradient,
-                term_gradient, stage_hessian, term_hessian, params0)
+                term_gradient, stage_hessian, term_hessian, params0,
+                stage_value_diff=stage_value_diff,
+                term_value_diff=term_value_diff)
 
 
 def NumericalCost(plant: Plant, Q, QF, R, xg, eps: float = 1e-5,
@@ -298,5 +334,15 @@ def ArmCost(Q, QF, R, xg, l1: float = 1.0, l2: float = 1.0,
     def term_hessian(p, x, k):
         return jax.hessian(lambda xx: term_value(p, xx, k))(x)
 
+    def stage_value_diff(p, x, u, xc, uc, k):
+        cQ = _currQ(p, k, QF_start, False)
+        return (_quad_diff(cQ, _delta(p, x), _delta(p, xc))
+                + _quad_diff(p.R, u, uc))
+
+    def term_value_diff(p, x, xc, k):
+        return _quad_diff(p.QF, _delta(p, x), _delta(p, xc))
+
     return Cost(nx, nu, stage_value, term_value, stage_gradient,
-                term_gradient, stage_hessian, term_hessian, params0)
+                term_gradient, stage_hessian, term_hessian, params0,
+                stage_value_diff=stage_value_diff,
+                term_value_diff=term_value_diff)

@@ -218,13 +218,19 @@ class ILQRSolver:
             rho_err = jnp.maximum(s.rho * drho_err, o.rho_min)
             rho1 = jnp.where(accepted, rho_ok, rho_err)
             drho1 = jnp.where(accepted, drho_ok, drho_err)
+            # a converged iterate exits with EXIT_TOL; don't let the forced
+            # line-search rejection escalate rho on the way out
+            rho1 = jnp.where(converged, s.rho, rho1)
+            drho1 = jnp.where(converged, s.drho, drho1)
             delta_J = s.J - ls.J_new
             exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
             exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
                                   EXIT_TOL, exit_code)
             exit_code = jnp.where(converged, EXIT_TOL, exit_code)
             hit_max = s.it == (o.max_iter - 1)
-            exit_code = jnp.where(hit_max, EXIT_MAX_ITER, exit_code)
+            # max-iter only when no other exit fired this iteration
+            exit_code = jnp.where(hit_max & (exit_code == 0),
+                                  EXIT_MAX_ITER, exit_code)
             done = exit_code > 0
             it1 = jnp.where(done, s.it, s.it + 1)
             return S(X=X1, U=U1, K=K, J=J1, rho=rho1, drho=drho1, it=it1,

@@ -173,6 +173,16 @@ class KKTSystem:
         D = jnp.where(live, 0.0, -1.0).astype(dtype)                 # (N, bs)
         return E, F, rhs, D
 
+    def _regularized_G(self, blocks: KKTBlocks, rho):
+        """G = H + rho I on the real decision variables; the phantom
+        terminal-control block keeps its exact unit diagonal (those vars are
+        decoupled from every constraint row, so their dxu is exactly 0 either
+        way — this just keeps the padding invisible to the conditioning)."""
+        n, nx = self.n, self.nx
+        dtype = blocks.H.dtype
+        G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
+        return G.at[-1, nx:, nx:].set(jnp.eye(self.nu, dtype=dtype))
+
     # ----------------------------------------------------------- dense KKT
     def solve_dense(self, blocks: KKTBlocks, rho) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Assemble and solve the full dense KKT system
@@ -185,8 +195,7 @@ class KKTSystem:
         T = N * n
         M = N * bs
         E, F, rhs, D = self._EF(blocks)
-        G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
-        # phantom terminal controls: keep their unit diagonal unregularized
+        G = self._regularized_G(blocks, rho)
         KKT = jnp.zeros((T + M, T + M), dtype=dtype)
         for k in range(N):
             KKT = KKT.at[k * n:(k + 1) * n, k * n:(k + 1) * n].set(G[k])
@@ -216,9 +225,8 @@ class KKTSystem:
         (ref: solveKKTSystem_Schur, TrajoptMPCReference.py:417-424), using
         only batched per-knot matmuls."""
         N, n = self.N, self.n
-        dtype = blocks.H.dtype
         E, F, rhs, D = self._EF(blocks)
-        G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
+        G = self._regularized_G(blocks, rho)
         invG = _inv_psd(G)
         ET = jnp.swapaxes(E, -1, -2)
         FT = jnp.swapaxes(F, -1, -2)
@@ -262,6 +270,40 @@ class KKTSystem:
             stats = SchurSolveStats(jnp.array(0), jnp.array(True))
         dxu = self.recover_dxu(invG, E, F, blocks, lam)
         return dxu, lam, stats
+
+    def solve_schur_sharded(self, blocks: KKTBlocks, rho, mesh, axis: str,
+                            pcg_tol: float = 1e-6,
+                            pcg_max_iter: int = 100,
+                            precond: str = "SS",
+                            guess: Optional[jnp.ndarray] = None,
+                            pcg_relative: bool = False):
+        """Horizon-sharded Schur solve: the per-knot inverse/assembly work
+        and the PCG iterations are partitioned over ``axis`` of ``mesh``
+        (parallel.horizon.sharded_schur_solve), with the KKT blocks
+        replicated.  Same integration point as the reference's
+        solveKKTSystem_Schur PCG branch (ref: TrajoptMPCReference.py:437-445);
+        same iterates as solve_schur(use_pcg=True) in exact arithmetic."""
+        from jax.sharding import PartitionSpec
+        from trajoptmpcreference_tpu.parallel.horizon import (
+            sharded_schur_solve,
+        )
+
+        E, F, rhs, D = self._EF(blocks)
+        G = self._regularized_G(blocks, rho)
+        if guess is None:
+            guess = jnp.zeros((self.N, self.bs), dtype=blocks.H.dtype)
+
+        def fn(E, F, rhs, D, G, g, guess):
+            return sharded_schur_solve(
+                E, F, rhs, D, G, g, guess, axis,
+                precond=precond, exit_tolerance=pcg_tol,
+                max_iter=pcg_max_iter, relative=pcg_relative)
+
+        rep = PartitionSpec()
+        dxu, lam, iters, converged = jax.shard_map(
+            fn, mesh=mesh, in_specs=(rep,) * 7, out_specs=rep,
+            check_vma=False)(E, F, rhs, D, G, blocks.g, guess)
+        return dxu, lam, SchurSolveStats(iters, converged)
 
 
 def _lstsq(A, b):

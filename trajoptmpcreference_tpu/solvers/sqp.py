@@ -92,6 +92,12 @@ class SQPSolver:
     method: str
     options: SQPOptions
     kkt: KKTSystem
+    # horizon sharding (SP/TP axis, SURVEY.md §2.8): when a mesh is set, the
+    # Schur assembly + PCG run partitioned over mesh[horizon_axis] via
+    # shard_map (kkt.solve_schur_sharded) — for single large-latency solves;
+    # the batched regime shards scenarios instead (parallel.batch)
+    mesh: Optional[Any] = None
+    horizon_axis: str = "horizon"
 
     # ------------------------------------------------------------- metrics
     def total_cost(self, X, U, cost_params, cstate):
@@ -105,6 +111,42 @@ class SQPSolver:
             J = J + jnp.sum(soft(X[:, :-1].T, U.T, ks))
             J = J + C.term_soft_value(self.cset, cstate, X[:, -1], jnp.asarray(self.N - 1))
         return J
+
+    def total_cost_diff(self, X, U, Xc, Uc, cost_params, cstate):
+        """J(Xc, Uc) - J(X, U), summed from per-stage differences.
+
+        The f32 merit acceptance (line_search) must resolve cost changes of
+        order exit_tolerance while J itself can be 1e4..1e6; subtracting two
+        separately-accumulated totals leaves no significant bits.  Summing
+        per-stage differences — each computed in residual form when the cost
+        provides stage_value_diff — keeps the cancellation at
+        O(stage-residual) magnitudes instead of O(J)."""
+        ks = jnp.arange(self.N - 1)
+        cost = self.cost
+        svd = cost.stage_value_diff
+
+        def stage(x, u, xc, uc, k):
+            if svd is not None:
+                d = svd(cost_params, x, u, xc, uc, k)
+            else:
+                d = (cost.stage_value(cost_params, xc, uc, k)
+                     - cost.stage_value(cost_params, x, u, k))
+            if self.cset.has_soft():
+                d = d + (C.stage_soft_value(self.cset, cstate, xc, uc, k)
+                         - C.stage_soft_value(self.cset, cstate, x, u, k))
+            return d
+
+        d = jnp.sum(jax.vmap(stage)(X[:, :-1].T, U.T, Xc[:, :-1].T, Uc.T, ks))
+        kN = jnp.asarray(self.N - 1)
+        if cost.term_value_diff is not None:
+            d = d + cost.term_value_diff(cost_params, X[:, -1], Xc[:, -1], kN)
+        else:
+            d = d + (cost.term_value(cost_params, Xc[:, -1], kN)
+                     - cost.term_value(cost_params, X[:, -1], kN))
+        if self.cset.has_soft():
+            d = d + (C.term_soft_value(self.cset, cstate, Xc[:, -1], kN)
+                     - C.term_soft_value(self.cset, cstate, X[:, -1], kN))
+        return d
 
     def total_violation(self, X, U, xs):
         """Initial-state + dynamics defects + active hard-constraint values
@@ -148,6 +190,14 @@ class SQPSolver:
             return dxu, lam, jnp.array(0), singular
         use_pcg = self.method.startswith("PCG")
         precond = self.method[4:] if use_pcg else "SS"
+        if self.mesh is not None and use_pcg:
+            dxu, lam, stats = self.kkt.solve_schur_sharded(
+                blocks, rho, self.mesh, self.horizon_axis,
+                pcg_tol=self.options.exit_tolerance_linSys,
+                pcg_max_iter=self.options.max_iter_linSys,
+                precond=precond, guess=guess,
+                pcg_relative=self.options.pcg_relative)
+            return dxu, lam, stats.pcg_iters, jnp.array(False)
         dxu, lam, stats = self.kkt.solve_schur(
             blocks, rho, use_pcg=use_pcg,
             pcg_tol=self.options.exit_tolerance_linSys,
@@ -180,17 +230,20 @@ class SQPSolver:
         def evaluate(alpha):
             Xc = X - alpha * dX
             Uc = U - alpha * dU
-            J_new = self.total_cost(Xc, Uc, cost_params, cstate)
+            # cancellation-safe merit change (see total_cost_diff): the
+            # acceptance test compares differences, never two large totals
+            dJ = self.total_cost_diff(X, U, Xc, Uc, cost_params, cstate)
             c_new = self.total_violation(Xc, Uc, xs)
             D = self.directional_derivative(Xc, Uc, dxu, cost_params, cstate)
-            merit_new = J_new + mu * c_new
-            delta_merit = merit - merit_new
+            delta_merit = -dJ + mu * (c - c_new)
+            J_new = J + dJ
+            merit_new = merit - delta_merit
             expected = alpha * (D - mu * c_new)
             ratio = delta_merit / expected
             ok = ((delta_merit >= 0)
                   & (ratio >= o.expected_reduction_min)
                   & (ratio <= o.expected_reduction_max))
-            return Xc, Uc, J_new, c_new, merit_new, D, ratio, ok
+            return Xc, Uc, dJ, J_new, c_new, merit_new, D, ratio, ok
 
         class LS(NamedTuple):
             alpha: jnp.ndarray
@@ -199,6 +252,7 @@ class SQPSolver:
             ls_iter: jnp.ndarray
             Xc: jnp.ndarray
             Uc: jnp.ndarray
+            dJ: jnp.ndarray
             J_new: jnp.ndarray
             c_new: jnp.ndarray
             merit_new: jnp.ndarray
@@ -206,22 +260,61 @@ class SQPSolver:
             ratio: jnp.ndarray
 
         def body(s: LS) -> LS:
-            Xc, Uc, J_new, c_new, merit_new, D, ratio, ok = evaluate(s.alpha)
+            Xc, Uc, dJ, J_new, c_new, merit_new, D, ratio, ok = evaluate(s.alpha)
             can_retry = s.alpha > o.alpha_min
             done = ok | ~can_retry
             next_alpha = jnp.where(ok | ~can_retry, s.alpha, s.alpha * o.alpha_factor)
             return LS(alpha=next_alpha, done=done, accepted=ok,
                       ls_iter=s.ls_iter + jnp.where(done, 0, 1),
-                      Xc=Xc, Uc=Uc, J_new=J_new, c_new=c_new,
+                      Xc=Xc, Uc=Uc, dJ=dJ, J_new=J_new, c_new=c_new,
                       merit_new=merit_new, D=D, ratio=ratio)
 
         dtype = X.dtype
         init = LS(alpha=jnp.asarray(1.0, dtype), done=jnp.array(False),
                   accepted=jnp.array(False), ls_iter=jnp.array(0),
-                  Xc=X, Uc=U, J_new=J, c_new=c, merit_new=merit,
-                  D=jnp.zeros((), dtype), ratio=jnp.zeros((), dtype))
+                  Xc=X, Uc=U, dJ=jnp.zeros((), dtype), J_new=J, c_new=c,
+                  merit_new=merit, D=jnp.zeros((), dtype),
+                  ratio=jnp.zeros((), dtype))
         out = jax.lax.while_loop(lambda s: ~s.done, body, init)
         return out
+
+    # --------------------------------------------------- one SQP iteration
+    def sqp_iterate(self, X, U, J, c, merit, rho, drho, guess, mu, xs,
+                    cost_params, cstate, hit_max):
+        """One SQP iteration: QP solve, line search, rho schedule, exit
+        logic (ref: TrajoptMPCReference.py:571-750).  The single body shared
+        by sqp_round and utils.trace.solve_traced, so the trace cannot drift
+        from the solver it traces."""
+        o = self.options
+        dxu, lam, pcg_iters, singular = self.solve_qp(
+            X, U, xs, cost_params, cstate, rho, guess)
+        ls = self.line_search(X, U, dxu, J, c, merit,
+                              xs, cost_params, cstate, mu=mu)
+        accepted = ls.accepted
+        error = ~accepted
+        X1 = jnp.where(accepted, ls.Xc, X)
+        U1 = jnp.where(accepted, ls.Uc, U)
+        J1 = jnp.where(accepted, ls.J_new, J)
+        c1 = jnp.where(accepted, ls.c_new, c)
+        merit1 = jnp.where(accepted, ls.merit_new, merit)
+        # regularization schedule (ref: :457-461, :466-468)
+        drho_ok = jnp.minimum(drho / o.rho_factor, 1.0 / o.rho_factor)
+        rho_ok = jnp.maximum(rho * drho_ok, o.rho_min)
+        drho_err = jnp.maximum(drho * o.rho_factor, o.rho_factor)
+        rho_err = jnp.maximum(rho * drho_err, o.rho_min)
+        rho1 = jnp.where(accepted, rho_ok, rho_err)
+        drho1 = jnp.where(accepted, drho_ok, drho_err)
+        # exit logic (ref: :463-481); delta_J from the cancellation-safe
+        # line-search difference, not a subtraction of carried totals
+        delta_J = -ls.dJ
+        exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
+        exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
+                              EXIT_TOL, exit_code)
+        # max-iter only when no other exit fired this iteration
+        exit_code = jnp.where(hit_max & (exit_code == 0),
+                              EXIT_MAX_ITER, exit_code)
+        return (X1, U1, J1, c1, merit1, rho1, drho1, exit_code, lam,
+                ls, pcg_iters, singular)
 
     # ------------------------------------------------------------ SQP loop
     def sqp_round(self, X, U, xs, cost_params, cstate, guess0=None):
@@ -250,31 +343,11 @@ class SQPSolver:
             guess: jnp.ndarray
 
         def body(s: S) -> S:
-            dxu, lam, pcg_iters, singular = self.solve_qp(
-                s.X, s.U, xs, cost_params, cstate, s.rho, s.guess)
-            ls = self.line_search(s.X, s.U, dxu, s.J, s.c, s.merit,
-                                  xs, cost_params, cstate, mu=mu)
-            accepted = ls.accepted
-            error = ~accepted
-            X1 = jnp.where(accepted, ls.Xc, s.X)
-            U1 = jnp.where(accepted, ls.Uc, s.U)
-            J1 = jnp.where(accepted, ls.J_new, s.J)
-            c1 = jnp.where(accepted, ls.c_new, s.c)
-            merit1 = jnp.where(accepted, ls.merit_new, s.merit)
-            # regularization schedule (ref: :457-461, :466-468)
-            drho_ok = jnp.minimum(s.drho / o.rho_factor, 1.0 / o.rho_factor)
-            rho_ok = jnp.maximum(s.rho * drho_ok, o.rho_min)
-            drho_err = jnp.maximum(s.drho * o.rho_factor, o.rho_factor)
-            rho_err = jnp.maximum(s.rho * drho_err, o.rho_min)
-            rho1 = jnp.where(accepted, rho_ok, rho_err)
-            drho1 = jnp.where(accepted, drho_ok, drho_err)
-            # exit logic (ref: :463-481)
-            delta_J = s.J - ls.J_new
-            exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
-            exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
-                                  EXIT_TOL, exit_code)
             hit_max = s.it == (o.max_iter - 1)
-            exit_code = jnp.where(hit_max, EXIT_MAX_ITER, exit_code)
+            (X1, U1, J1, c1, merit1, rho1, drho1, exit_code, lam,
+             _ls, _pcg, _sing) = self.sqp_iterate(
+                s.X, s.U, s.J, s.c, s.merit, s.rho, s.drho, s.guess,
+                mu, xs, cost_params, cstate, hit_max)
             done = (exit_code > 0)
             it1 = jnp.where(done, s.it, s.it + 1)
             return S(X=X1, U=U1, J=J1, c=c1, merit=merit1, rho=rho1,
@@ -353,11 +426,16 @@ class SQPSolver:
 
 def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
              N: int, dt: float, method: str = "N",
-             options: Optional[SQPOptions] = None) -> SQPSolver:
+             options: Optional[SQPOptions] = None,
+             mesh=None, horizon_axis: str = "horizon") -> SQPSolver:
     """Build a jit-specialized SQP solver (the reference's
     TrajoptMPCReference(plant, cost, constraints).SQP entry point,
     ref: TrajoptMPCReference.py:29-42,510).  ``method`` accepts a string or
-    a SQPSolverMethods enum member."""
+    a SQPSolverMethods enum member.
+
+    mesh + horizon_axis: run the Schur/PCG phase horizon-sharded over the
+    named mesh axis (requires a PCG method and N divisible by the axis
+    size)."""
     from trajoptmpcreference_tpu.solvers.methods import method_str
     method = method_str(method)
     if method not in SQP_METHODS:
@@ -368,5 +446,15 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
         cset = C.ConstraintSet(plant.nq, plant.nv, plant.nu, N)
     options = options or SQPOptions()
     kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt)
+    if mesh is not None:
+        if not method.startswith("PCG"):
+            raise ValueError(
+                "horizon sharding requires a PCG method (the block-Thomas "
+                "and dense solves are sequential over the horizon)")
+        if N % mesh.shape[horizon_axis]:
+            raise ValueError(
+                f"N={N} must divide by the horizon axis size "
+                f"{mesh.shape[horizon_axis]}")
     return SQPSolver(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
-                     method=method, options=options, kkt=kkt)
+                     method=method, options=options, kkt=kkt,
+                     mesh=mesh, horizon_axis=horizon_axis)

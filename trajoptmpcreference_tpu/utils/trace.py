@@ -20,12 +20,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from trajoptmpcreference_tpu.solvers.sqp import (
-    EXIT_MAX_ITER,
-    EXIT_RHO_MAX,
-    EXIT_TOL,
-    SQPSolver,
-)
+from trajoptmpcreference_tpu.solvers.sqp import SQPSolver
 
 
 class SQPTrace(NamedTuple):
@@ -91,29 +86,14 @@ def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
         exit_code=jnp.array(0), iters=jnp.array(0))
 
     def body(it, s: S) -> S:
-        dxu, lam, pcg_iters, singular = solver.solve_qp(
-            s.X, s.U, xs, cost_params, cstate, s.rho, s.guess)
-        ls = solver.line_search(s.X, s.U, dxu, s.J, s.c, s.merit,
-                                xs, cost_params, cstate, mu=mu)
+        # the single shared iteration body (SQPSolver.sqp_iterate) — the
+        # trace CANNOT drift from the solver it traces
+        (X1, U1, J1, c1, merit1, rho1, drho1, exit_code, lam,
+         ls, pcg_iters, singular) = solver.sqp_iterate(
+            s.X, s.U, s.J, s.c, s.merit, s.rho, s.drho, s.guess,
+            mu, xs, cost_params, cstate, it == max_iter - 1)
         live = ~s.done
         accepted = ls.accepted & live
-        error = ~ls.accepted
-        X1 = jnp.where(accepted, ls.Xc, s.X)
-        U1 = jnp.where(accepted, ls.Uc, s.U)
-        J1 = jnp.where(accepted, ls.J_new, s.J)
-        c1 = jnp.where(accepted, ls.c_new, s.c)
-        merit1 = jnp.where(accepted, ls.merit_new, s.merit)
-        drho_ok = jnp.minimum(s.drho / o.rho_factor, 1.0 / o.rho_factor)
-        rho_ok = jnp.maximum(s.rho * drho_ok, o.rho_min)
-        drho_err = jnp.maximum(s.drho * o.rho_factor, o.rho_factor)
-        rho_err = jnp.maximum(s.rho * drho_err, o.rho_min)
-        rho1 = jnp.where(ls.accepted, rho_ok, rho_err)
-        drho1 = jnp.where(ls.accepted, drho_ok, drho_err)
-        delta_J = s.J - ls.J_new
-        exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
-        exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
-                              EXIT_TOL, exit_code)
-        exit_code = jnp.where(it == max_iter - 1, EXIT_MAX_ITER, exit_code)
         newly_done = live & (exit_code > 0)
         tr = s.trace
         tr = tr._replace(
