@@ -1,0 +1,118 @@
+"""Closed-loop accuracy eval: the flagship 6-DoF N=64 MPC loop run for a
+long episode (default 300 control steps) over a fixed scenario set, in a
+chosen dtype — the instrument for the f32-vs-f64 accuracy gap
+(VERDICT round 1, item 1).
+
+Run twice to compare precisions:
+    JAX_PLATFORMS=cpu python analysis/closedloop_eval.py --dtype f32
+    JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python analysis/closedloop_eval.py --dtype f64
+
+Semantics bar (ref: TrajoptMPCReference.py:636-666): the closed loop must
+actually track the goal, not merely stay finite.  "stable" here = final EE
+position error < --stable-below (default 1.0 m; initial distance ~5 m).
+Prints one JSON line with per-scenario errors and the summary.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--scenarios", type=int, default=16)
+    ap.add_argument("--N", type=int, default=64)
+    ap.add_argument("--max-iter", type=int, default=5)
+    ap.add_argument("--stable-below", type=float, default=1.0)
+    ap.add_argument("--matmul-precision", default=None,
+                    help="jax default_matmul_precision (e.g. highest)")
+    ap.add_argument("--vel-weight", type=float, default=0.1)
+    ap.add_argument("--r-weight", type=float, default=0.01)
+    ap.add_argument("--qf-weight", type=float, default=100.0)
+    ap.add_argument("--integrator", type=int, default=1)
+    ap.add_argument("--pcg-iters", type=int, default=40)
+    ap.add_argument("--pcg-tol", type=float, default=1e-4)
+    ap.add_argument("--tag", default="")
+    args = ap.parse_args()
+
+    if args.dtype == "f64":
+        os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+    import jax
+    import jax.numpy as jnp
+
+    # sitecustomize may have imported jax and latched the axon TPU platform
+    # before our env var is honored — pin the live config (see tests/conftest)
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+    if args.dtype == "f64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+    from __graft_entry__ import _flagship_mpc
+
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    plant, cost, ctrl = _flagship_mpc(
+        N=args.N, max_iter=args.max_iter, dtype=dtype,
+        vel_weight=args.vel_weight, r_weight=args.r_weight,
+        qf_weight=args.qf_weight, integrator_type=args.integrator,
+        pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol)
+    nx = plant.nx
+    B = args.scenarios
+
+    # fixed scenario set (same seed across dtypes => identical scenarios)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.1 * rng.standard_normal((B, nx)), dtype=dtype)
+    goals_np = np.concatenate([
+        np.array([3.0, 2.0, 0.0]) + 0.3 * rng.standard_normal((B, 3)) * [1, 1, 0],
+        np.zeros((B, 3))], axis=1)
+    goals = jnp.asarray(goals_np, dtype=dtype)
+    cps = jax.vmap(lambda g: cost.default_params._replace(xg=g))(goals)
+
+    fn = jax.jit(jax.vmap(
+        lambda x0, cp: ctrl.run(x0, steps=args.steps, cost_params=cp)))
+    t0 = time.perf_counter()
+    res = fn(x0s, cps)
+    jax.block_until_ready(res.X_applied)
+    wall = time.perf_counter() - t0
+
+    q_final = res.X_applied[:, :plant.nq, -1]
+    ee = jax.vmap(lambda q: plant.kinematics.ee_pos_xyz(q)[:2])(q_final)
+    err = np.asarray(jnp.linalg.norm(ee - goals[:, :2], axis=1), dtype=np.float64)
+    finite = np.isfinite(err)
+    stable = finite & (err < args.stable_below)
+    med_all = float(np.median(np.where(finite, err, np.inf)))
+    med_stable = float(np.median(err[stable])) if stable.any() else float("nan")
+    exit_codes = np.asarray(res.exit_codes)  # (B, steps)
+
+    print(json.dumps({
+        "tag": args.tag,
+        "dtype": args.dtype,
+        "backend": jax.default_backend(),
+        "matmul_precision": args.matmul_precision,
+        "steps": args.steps,
+        "scenarios": B,
+        "stable": int(stable.sum()),
+        "finite": int(finite.sum()),
+        "median_err_all": round(med_all, 4),
+        "median_err_stable": round(med_stable, 4),
+        "errors": [round(float(e), 3) for e in err],
+        "exit_code_hist": {str(k): int(v) for k, v in
+                           zip(*np.unique(exit_codes, return_counts=True))},
+        "wall_s": round(wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Weak-scaling harness: batched flagship solves over a growing device
+mesh (1/2/4/8), reporting solves/s and parallel efficiency (BASELINE.json
+asks for >= 80% at 1 chip / 1 host / >= 2 hosts).
+
+On real TPU hardware the same script reports the true curve; under the
+CI's virtual CPU mesh (xla_force_host_platform_device_count) every
+"device" shares the same physical cores, so the printed efficiency there
+validates the HARNESS and the sharding (no replicated compute, no
+cross-device serialization), not chip-level scaling.
+
+Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          python analysis/scaling_report.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+    from __graft_entry__ import _flagship
+    from trajoptmpcreference_tpu.parallel import make_mesh, shard_solve
+
+    per_dev = int(os.environ.get("SCALE_B_PER_DEV", "8"))
+    N = int(os.environ.get("SCALE_N", "16"))
+    reps = int(os.environ.get("SCALE_REPS", "3"))
+    plant, cost, solver = _flagship(N=N, max_iter=4)
+    nx, nu = plant.nx, plant.nu
+    dtype = jnp.float32
+
+    ndev = len(jax.devices())
+    sizes = [p for p in (1, 2, 4, 8, 16, 32) if p <= ndev]
+    rows = []
+    base_rate = None
+    for P in sizes:
+        B = per_dev * P
+        mesh = make_mesh((P,), ("batch",), devices=jax.devices()[:P])
+        rng = np.random.default_rng(0)
+        x0s = jnp.asarray(0.1 * rng.standard_normal((B, nx, N)), dtype)
+        u0s = jnp.zeros((B, nu, N - 1), dtype)
+        cps = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (B,) + a.shape),
+            cost.default_params)
+        fn = jax.jit(shard_solve(solver, mesh))
+        res = fn(x0s, u0s, cps)
+        jax.block_until_ready(res.U)
+        float(jnp.sum(res.U))           # remote-TPU completion barrier
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = fn(x0s, u0s, cps)
+            float(jnp.sum(res.U))
+            times.append(time.perf_counter() - t0)
+        rate = B / min(times)
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * P)
+        rows.append({"devices": P, "batch": B,
+                     "solves_per_s": round(rate, 2),
+                     "weak_efficiency": round(eff, 4)})
+        print(json.dumps(rows[-1]))
+
+    backend = jax.default_backend()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"scaling_report_{backend}.md")
+    with open(out, "w") as f:
+        f.write(f"# Weak scaling ({backend}), flagship 6-DoF N={N} solve, "
+                f"{per_dev} scenarios/device\n\n")
+        if backend != "tpu":
+            f.write("CAVEAT: virtual CPU devices share physical cores; "
+                    "this validates the harness + sharding, not chip "
+                    "scaling (see module docstring).\n\n")
+        f.write("| devices | batch | solves/s | weak efficiency |\n"
+                "|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['devices']} | {r['batch']} | "
+                    f"{r['solves_per_s']} | {r['weak_efficiency']:.1%} |\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
