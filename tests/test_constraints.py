@@ -186,3 +186,40 @@ def test_terminal_joint_violation_drives_updates():
     g_ad = jax.grad(lambda x: C.term_soft_value(
         cs, state, x, jnp.asarray(N - 1)))(X[:, N - 1])
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-12)
+
+
+def test_active_set_chatter_knobs():
+    """Active-set chatter: with reference-parity settings (strict
+    margin<0 activation, no feasibility term in EXIT_TOL) a tight torque
+    limit on the arm2 task exits 'converged' 60% past the bound — rows
+    deactivate the moment they are clamped onto the bound, the next QP
+    jumps back across, and EXIT_TOL fires mid-oscillation.  The opt-in
+    activation_band + hard_violation_exit_tol knobs must enforce the
+    bound; the defaults must preserve the reference behavior."""
+    from trajoptmpcreference_tpu import URDFPlant, UrdfCost, serial_arm
+
+    plant = URDFPlant(robot=serial_arm(2))
+    N = 16
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+
+    def run(cset, opts):
+        s = make_sqp(plant, cost, cset, N, 0.05, method="S", options=opts)
+        r = jax.jit(s.solve)(jnp.zeros((4, N)), jnp.zeros((2, N - 1)))
+        return r, float(jnp.max(jnp.abs(r.U)))
+
+    base = dict(expected_reduction_min=-100.0, max_iter=40)
+    cs_ref = ConstraintSet(2, 2, 2, N).with_torque_limits(
+        0.5, -0.5, "ACTIVE_SET")
+    cs_band = ConstraintSet(2, 2, 2, N).with_torque_limits(
+        0.5, -0.5, "ACTIVE_SET", activation_band=0.05)
+
+    # reference parity: premature EXIT_TOL, bound badly violated
+    r0, u0 = run(cs_ref, SQPOptions(**base))
+    assert int(r0.exit_sqp) == 1
+    assert u0 > 0.6          # the chatter this test exists to document
+
+    # band + feasibility-gated exit: bound enforced, clean convergence
+    r1, u1 = run(cs_band, SQPOptions(hard_violation_exit_tol=1e-3, **base))
+    assert int(r1.exit_sqp) == 1
+    assert u1 <= 0.5 + 1e-3, u1

@@ -67,6 +67,14 @@ class BoxLimitSpec:
     mu_max: float = 1e12
     phi_init: float = 1e-2
     phi_factor: float = 10.0
+    # ACTIVE_SET activation band: rows with margin < band stay in the
+    # working set.  The reference activates strictly on violation
+    # (margin < 0, ref: TrajoptConstraint.py:99-113), so a row clamped
+    # exactly onto its bound deactivates, the next QP jumps back across,
+    # and EXIT_TOL can fire mid-oscillation (measured: |u| settles 60%
+    # past a 0.5 torque bound on arm2).  A small positive band keeps
+    # clamped rows pinned to the bound.  0.0 = reference parity.
+    activation_band: float = 0.0
 
     @property
     def rows(self) -> int:
@@ -209,7 +217,11 @@ def hard_rows(spec: BoxLimitSpec, z, width: int):
     static shapes); FULL_SET keeps every row live.
     """
     m = margin(spec, z)
-    active = (m < 0) if spec.mode == "ACTIVE_SET" else jnp.ones_like(m, dtype=bool)
+    if spec.mode == "ACTIVE_SET":
+        band = jnp.asarray(spec.activation_band, dtype=z.dtype)
+        active = m < band
+    else:
+        active = jnp.ones_like(m, dtype=bool)
     J = signed_selector(spec, width, z.dtype)
     vals = jnp.where(active, m, 0.0)
     Jm = jnp.where(active[:, None], J, 0.0)
@@ -375,6 +387,28 @@ def max_soft_violation(cs: ConstraintSet, state, X, U):
     'if active value < 0' documents the intent).  X: (nx, N), U: (nu, N-1)."""
     best = jnp.zeros((), dtype=X.dtype)
     for spec in cs.soft_limits:
+        if spec.kind == "torque":
+            Z = U[:spec.size, :spec.num_timesteps]
+        elif spec.kind == "velocity":
+            Z = X[cs.nq:cs.nq + spec.size, :spec.num_timesteps]
+        else:
+            Z = X[:spec.size, :spec.num_timesteps]
+        lo, hi = spec.bounds(X.dtype)
+        m = jnp.concatenate([Z - lo[:, None], hi[:, None] - Z])
+        worst = jnp.minimum(jnp.min(m, axis=0), 0.0)
+        best = jnp.maximum(best, jnp.max(jnp.abs(worst)))
+    return best
+
+
+def max_hard_violation(cs: ConstraintSet, X, U):
+    """max over HARD limits/timesteps of the violation |min(margin, 0)|.
+
+    Instrument for SQPOptions.hard_violation_exit_tol: the reference has no
+    feasibility term in its EXIT_TOL test (ref: TrajoptMPCReference.py:
+    463-481), so an active-set solve can exit 'converged' mid-chatter with
+    a bound still violated.  X: (nx, N), U: (nu, N-1)."""
+    best = jnp.zeros((), dtype=X.dtype)
+    for spec in cs.hard_limits:
         if spec.kind == "torque":
             Z = U[:spec.size, :spec.num_timesteps]
         elif spec.kind == "velocity":

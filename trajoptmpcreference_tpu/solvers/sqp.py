@@ -16,6 +16,7 @@ scale across meshes via shard_map (parallel/).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -61,6 +62,13 @@ class SQPOptions:
     merit_mu: float = 10.0
     exit_tolerance_linSys: float = 1e-6
     max_iter_linSys: int = 100
+    # hard-constraint exit gate: EXIT_TOL additionally requires the max
+    # hard-limit violation of the accepted iterate to be <= this value.
+    # inf = reference parity (its exit test has no feasibility term,
+    # ref: TrajoptMPCReference.py:463-481, so active-set chatter can exit
+    # 'converged' with a bound still violated).  Pair with
+    # BoxLimitSpec.activation_band to damp the chatter itself.
+    hard_violation_exit_tol: float = float("inf")
     # scale-invariant PCG exit (|nu| < tol*|nu0|); the reference's absolute
     # test (ref: PCG.py:102) is kept when False — see ops/btridiag.pcg
     pcg_relative: bool = False
@@ -308,8 +316,12 @@ class SQPSolver:
         # line-search difference, not a subtraction of carried totals
         delta_J = -ls.dJ
         exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
-        exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
-                              EXIT_TOL, exit_code)
+        tol_hit = ~error & (delta_J < o.exit_tolerance)
+        if (self.cset.has_hard()
+                and math.isfinite(o.hard_violation_exit_tol)):
+            hv = C.max_hard_violation(self.cset, X1, U1)
+            tol_hit = tol_hit & (hv <= o.hard_violation_exit_tol)
+        exit_code = jnp.where(tol_hit, EXIT_TOL, exit_code)
         # max-iter only when no other exit fired this iteration
         exit_code = jnp.where(hit_max & (exit_code == 0),
                               EXIT_MAX_ITER, exit_code)
