@@ -44,6 +44,11 @@ def main():
     import jax.numpy as jnp
 
     backend = jax.default_backend()
+    # f32 matmul precision (e.g. "highest" = full-f32 MXU passes): on the
+    # closed 300-step loop the bf16-pass default costs tracking accuracy
+    prec = os.environ.get("BENCH_MATMUL_PRECISION", "")
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
     B = int(os.environ.get("BENCH_BATCH", "512" if backend == "tpu" else "8"))
     N = int(os.environ.get("BENCH_N", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "150"))

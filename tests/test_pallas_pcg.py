@@ -70,3 +70,34 @@ def test_warm_start_converges_faster():
     x_warm, it_warm = solve(A, b, x_cold)
     assert int(it_warm) < int(it_cold)
     assert int(it_warm) <= 1
+
+
+def test_sqp_solve_with_pallas_pcg_matches_xla():
+    """Full SQP solve routed through the fused Pallas PCG
+    (make_sqp(use_pallas_pcg=True), interpreter off-TPU) vs the XLA
+    btridiag path: same exit, same controls to f32 tolerance."""
+    from trajoptmpcreference_tpu import (
+        SQPOptions,
+        URDFPlant,
+        UrdfCost,
+        make_sqp,
+        serial_arm,
+    )
+
+    plant = URDFPlant(robot=serial_arm(2))
+    N = 16
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    opts = SQPOptions(expected_reduction_min=-100.0, max_iter=12,
+                      exit_tolerance_linSys=1e-10, max_iter_linSys=60)
+    base = make_sqp(plant, cost, None, N, 0.05, method="PCG-SS",
+                    options=opts)
+    fused = make_sqp(plant, cost, None, N, 0.05, method="PCG-SS",
+                     options=opts, use_pallas_pcg=True)
+    x0 = jnp.zeros((4, N))
+    u0 = jnp.zeros((2, N - 1))
+    rb = jax.jit(base.solve)(x0, u0)
+    rf = jax.jit(fused.solve)(x0, u0)
+    assert int(rf.exit_sqp) == int(rb.exit_sqp)
+    np.testing.assert_allclose(np.asarray(rf.U), np.asarray(rb.U),
+                               atol=1e-5)

@@ -10,9 +10,19 @@ lockstep with per-lane scalars (alpha, beta, nu).
 Loop semantics match ops/btridiag.pcg (ref: GBD-PCG-Python/PCG.py:66-111):
 nu = r^T Pinv r, exit when every lane in the tile satisfies |nu| < tol.
 
-Layout: all block arrays batch-minor —
-  diag (N, bs, bs, B), upper (N, bs, bs, B) (last knot zero-padded),
-  b/guess/x (N, bs, B) — with a grid over batch tiles of BT lanes.
+VMEM fit at the flagship config (N=64, bs=12, 128 lanes) — three tricks,
+worth ~2.6x over the naive layout (18.9 MB -> ~12 MB, under the v5e's
+16 MB):
+  * block-leading layout (bs, bs, N, BT): the minor tile dims are (N, BT),
+    both already aligned (8, 128), so bs = 12 costs no sublane padding
+    (the old (N, bs, bs, BT) layout padded 12 -> 16: 6.3 MB/array);
+  * symmetric packing: PCG requires a symmetric operator, so the diagonal
+    blocks and their inverses are symmetric — stored as the 78-entry
+    lower triangle (78, N, BT), applied by a statically unrolled
+    multiply-add ladder (no gather: Mosaic has none);
+  * no grid: Pallas double-buffers gridded inputs (2x resident blocks), so
+    each 128-lane tile is its own grid=() pallas_call and the batch walks
+    tiles with an outer lax.map.
 
 ``batched_pcg`` wraps the kernel in a custom_vmap that folds vmapped axes
 into the lane dimension (the ops/lanes.py strategy), so per-sample solver
@@ -25,38 +35,82 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from trajoptmpcreference_tpu.ops.btridiag import BlockTridiag, preconditioner
+from trajoptmpcreference_tpu.ops.btridiag import BlockTridiag
 
 
-def _matvec(diag, upper, x):
-    """Block-tridiag matvec in batch-minor layout inside the kernel.
+def _tri_indices(bs: int):
+    """Row/col index arrays of the packed lower triangle, and the static
+    (i, j) -> packed-position table."""
+    rows, cols = np.tril_indices(bs)
+    pos = {}
+    for k, (i, j) in enumerate(zip(rows, cols)):
+        pos[(int(i), int(j))] = k
+    return rows, cols, pos
 
-    diag (N, bs, bs, BT), upper (N, bs, bs, BT) with upper[N-1] = 0,
-    x (N, bs, BT) -> y (N, bs, BT).
+
+def _pack_sym(blocks, rows, cols):
+    """(..., bs, bs) symmetric -> (..., T) packed lower triangle."""
+    return blocks[..., rows, cols]
+
+
+def _sym_apply(P, x, bs: int, pos):
+    """y = D x per knot/lane with D packed symmetric.
+
+    P (T, N, BT) packed, x (bs, N, BT) -> (bs, N, BT).  Statically
+    unrolled: each term is one multiply-add on an aligned (N, BT) tile.
     """
-    y = jnp.sum(diag * x[:, None, :, :], axis=2)
-    # upper coupling: y_k += U_k x_{k+1}
-    x_next = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
-    y = y + jnp.sum(upper * x_next[:, None, :, :], axis=2)
-    # lower coupling: y_k += U_{k-1}^T x_{k-1}
-    x_prev = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
-    u_prev = jnp.concatenate([jnp.zeros_like(upper[:1]), upper[:-1]], axis=0)
-    y = y + jnp.sum(u_prev * x_prev[:, :, None, :], axis=1)
+    ys = []
+    for i in range(bs):
+        acc = None
+        for j in range(bs):
+            k = pos[(i, j)] if i >= j else pos[(j, i)]
+            t = P[k] * x[j]
+            acc = t if acc is None else acc + t
+        ys.append(acc)
+    return jnp.stack(ys)
+
+
+def _shift_next(x):
+    """x_{k+1} along the knot axis (axis 1), zero at the tail."""
+    return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+
+
+def _shift_prev(x):
+    """x_{k-1} along the knot axis, zero at the head."""
+    return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+
+
+def _matvec(diag_p, upper, x, bs, pos):
+    """Block-tridiag matvec, block-leading layout.
+
+    diag_p (T, N, BT) packed symmetric, upper (bs, bs, N, BT) with
+    upper[..., N-1, :] = 0, x (bs, N, BT) -> y (bs, N, BT).
+    """
+    y = _sym_apply(diag_p, x, bs, pos)
+    # y_k += U_k x_{k+1}
+    y = y + jnp.sum(upper * _shift_next(x)[None, :, :, :], axis=1)
+    # y_k += U_{k-1}^T x_{k-1}
+    xp = _shift_prev(x)
+    up = jnp.concatenate(
+        [jnp.zeros_like(upper[:, :, :1]), upper[:, :, :-1]], axis=2)
+    y = y + jnp.sum(up * xp[:, None, :, :], axis=0)
     return y
 
 
 def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
-                x_ref, iters_ref, *, max_iter: int, tol: float,
-                precond: str):
-    diag = diag_ref[:]
+                x_ref, iters_ref, *, bs: int, pos, max_iter: int,
+                tol: float, precond: str, relative: bool):
+    diag_p = diag_ref[:]
     upper = upper_ref[:]
-    pdiag = pdiag_ref[:]
+    pdiag_p = pdiag_ref[:]
     b = b_ref[:]
     x0 = guess_ref[:]
 
@@ -64,24 +118,28 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
         # VMEM budget: the SS off-diagonal blocks are never materialized —
         # Pinv_off_k = -Dinv_k U_k Dinv_{k+1}, so with s = Dinv r:
         #   (Pinv r)_k = s_k - Dinv_k (U_k s_{k+1} + U_{k-1}^T s_{k-1})
-        s = jnp.sum(pdiag * r[:, None, :, :], axis=2)
+        s = _sym_apply(pdiag_p, r, bs, pos)
         if precond != "SS":
             return s
-        s_next = jnp.concatenate([s[1:], jnp.zeros_like(s[:1])], axis=0)
-        off = jnp.sum(upper * s_next[:, None, :, :], axis=2)
-        s_prev = jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
-        u_prev = jnp.concatenate(
-            [jnp.zeros_like(upper[:1]), upper[:-1]], axis=0)
-        off = off + jnp.sum(u_prev * s_prev[:, :, None, :], axis=1)
-        return s - jnp.sum(pdiag * off[:, None, :, :], axis=2)
+        off = jnp.sum(upper * _shift_next(s)[None, :, :, :], axis=1)
+        up = jnp.concatenate(
+            [jnp.zeros_like(upper[:, :, :1]), upper[:, :, :-1]], axis=2)
+        off = off + jnp.sum(up * _shift_prev(s)[:, None, :, :], axis=0)
+        return s - _sym_apply(pdiag_p, off, bs, pos)
 
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))          # per-lane (BT,)
 
-    r0 = b - _matvec(diag, upper, x0)
+    r0 = b - _matvec(diag_p, upper, x0, bs, pos)
     rt0 = apply_P(r0)
     nu0 = dot(r0, rt0)
-    done0 = jnp.all(jnp.abs(nu0) < tol)     # NaN guard (see btridiag.pcg)
+    # per-lane threshold; relative = scale-invariant exit with a floor for
+    # already-converged warm starts (see ops/btridiag.pcg)
+    if relative:
+        thr = jnp.maximum(tol * jnp.abs(nu0), 1e-30)
+    else:
+        thr = jnp.full_like(nu0, tol)
+    done0 = jnp.all(jnp.abs(nu0) <= thr)    # NaN guard (see btridiag.pcg)
 
     def cond(state):
         _, _, _, nu, it, done = state
@@ -89,14 +147,14 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
 
     def body(state):
         x, r, p, nu, it, _ = state
-        Ap = _matvec(diag, upper, p)
+        Ap = _matvec(diag_p, upper, p, bs, pos)
         pAp = dot(p, Ap)
         alpha = nu / jnp.where(pAp != 0, pAp, 1.0)   # (BT,)
         x = x + alpha[None, None, :] * p
         r = r - alpha[None, None, :] * Ap
         rt = apply_P(r)
         nu_new = dot(r, rt)
-        done = jnp.all(jnp.abs(nu_new) < tol)
+        done = jnp.all(jnp.abs(nu_new) <= thr)
         beta = nu_new / nu
         p = rt + beta[None, None, :] * p
         return (x, r, p, nu_new, it + 1, done)
@@ -107,44 +165,57 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, it, jnp.int32)  # (1, BT)
 
 
-def _pallas_pcg_lanes(diag, upper, pdiag, b, guess,
+def _pallas_pcg_lanes(diag_p, upper, pdiag_p, b, guess, bs: int, pos,
                       tol: float, max_iter: int, block_b: int,
-                      interpret: bool, precond: str):
-    """Launch the kernel over batch tiles.  All args batch-minor.
+                      interpret: bool, precond: str, relative: bool):
+    """Launch one grid=() kernel per 128-lane batch tile (lax.map outside —
+    a Pallas grid would double-buffer the resident blocks).
 
-    Compiled-path constraints: the lane tile must be 128 (Mosaic requires
-    the minor block dim divisible by 128) and the three resident block
-    arrays (diag, upper, Pinv diag) must fit VMEM:
-    3 * N * bs * roundup(bs, 8) * 128 * 4 bytes (f32) <~ 13 MB.
+    Layouts: diag_p/pdiag_p (T, N, L) packed symmetric, upper
+    (bs, bs, N, L) tail-padded, b/guess (bs, N, L).
     """
-    N, bs, _, B = diag.shape
-    BT = min(block_b, B)
-    if B % BT:
-        raise ValueError(f"batch {B} must divide by lane tile {BT}")
-    grid = (B // BT,)
+    N, L = b.shape[1], b.shape[2]
+    BT = min(block_b, L)
+    if L % BT:
+        raise ValueError(f"lane count {L} must divide by tile {BT}")
+    n_tiles = L // BT
 
-    block_spec = pl.BlockSpec((N, bs, bs, BT), lambda g: (0, 0, 0, g),
-                              memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((N, bs, BT), lambda g: (0, 0, g),
-                            memory_space=pltpu.VMEM)
-    x, iters = pl.pallas_call(
-        functools.partial(_pcg_kernel, max_iter=max_iter, tol=tol,
-                          precond=precond),
-        grid=grid,
-        in_specs=[block_spec, block_spec, block_spec, vec_spec, vec_spec],
-        out_specs=[vec_spec,
-                   pl.BlockSpec((1, BT), lambda g: (0, g),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((N, bs, B), b.dtype),
-                   jax.ShapeDtypeStruct((1, B), jnp.int32)],
-        interpret=interpret,
-    )(diag, upper, pdiag, b, guess)
-    return x, iters[0]
+    vmem = pltpu.VMEM
+    whole = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim,
+                                   memory_space=vmem)
+
+    def one_tile(args):
+        dp, up, pp, bb, gg = args
+        return pl.pallas_call(
+            functools.partial(_pcg_kernel, bs=bs, pos=pos,
+                              max_iter=max_iter, tol=tol, precond=precond,
+                              relative=relative),
+            in_specs=[whole(dp), whole(up), whole(pp), whole(bb), whole(gg)],
+            out_specs=[whole(bb),
+                       pl.BlockSpec((1, BT), lambda: (0, 0),
+                                    memory_space=vmem)],
+            out_shape=[jax.ShapeDtypeStruct((bs, N, BT), b.dtype),
+                       jax.ShapeDtypeStruct((1, BT), jnp.int32)],
+            interpret=interpret,
+        )(dp, up, pp, bb, gg)
+
+    if n_tiles == 1:
+        x, iters = one_tile((diag_p, upper, pdiag_p, b, guess))
+        return x, iters[0]
+
+    tiles = lambda a: jnp.moveaxis(
+        a.reshape(a.shape[:-1] + (n_tiles, BT)), -2, 0)
+    x_t, it_t = jax.lax.map(
+        one_tile, (tiles(diag_p), tiles(upper), tiles(pdiag_p),
+                   tiles(b), tiles(guess)))
+    untile = lambda a: jnp.moveaxis(a, 0, -2).reshape(
+        a.shape[1:-1] + (n_tiles * a.shape[-1],))
+    return untile(x_t), untile(it_t)[0]
 
 
 def make_batched_pcg(N: int, bs: int, precond: str = "SS",
                      tol: float = 1e-4, max_iter: int = 40,
-                     block_b: int = 128,
+                     block_b: int = 128, relative: bool = False,
                      interpret: Optional[bool] = None):
     """Per-sample-signature PCG backed by the fused Pallas kernel.
 
@@ -152,25 +223,29 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
     vmapped axes fold into the kernel's lane dimension.  The block-Jacobi
     inverse (Pinv diagonal) is computed OUTSIDE the kernel (once per solve,
     XLA) and streamed in; SS off-diagonals are applied algebraically inside
-    (see _pcg_kernel.apply_P), halving the resident block arrays.
+    (see _pcg_kernel.apply_P).  Diagonal blocks must be symmetric (PCG
+    already requires a symmetric operator); they and their inverses are
+    stored packed (see module docstring).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     from trajoptmpcreference_tpu.ops.btridiag import _inv_blocks
-
     from trajoptmpcreference_tpu.ops.lanes import _fold, _unfold
 
+    rows, cols, pos = _tri_indices(bs)
+
     @custom_vmap
-    def pcg_L(diag, upper, pdiag, b, guess):
+    def pcg_L(diag_p, upper, pdiag_p, b, guess):
         # lane-carrying signature: trailing axis L on every arg; the rule
         # folds vmapped axes into it (recursively, like ops/lanes.py)
-        L = diag.shape[-1]
-        BT = min(block_b, L) if L % 128 == 0 else L
+        L = b.shape[-1]
         itp = interpret or (L % 128 != 0)
-        return _pallas_pcg_lanes(diag, upper, pdiag, b, guess,
-                                 tol=tol, max_iter=max_iter,
-                                 block_b=BT, interpret=itp, precond=precond)
+        return _pallas_pcg_lanes(diag_p, upper, pdiag_p, b, guess,
+                                 bs=bs, pos=pos, tol=tol,
+                                 max_iter=max_iter, block_b=block_b,
+                                 interpret=itp, precond=precond,
+                                 relative=relative)
 
     @pcg_L.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -188,8 +263,13 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
             pdiag = _inv_blocks(S.diag)
         upper_pad = jnp.concatenate(
             [S.upper, jnp.zeros_like(S.upper[:1])], axis=0)
-        x, it = pcg_L(S.diag[..., None], upper_pad[..., None],
-                      pdiag[..., None], gam[..., None], guess[..., None])
-        return x[..., 0], it[0]
+        # to block-leading lane layout: (N, bs, bs) -> (bs, bs, N, 1) etc.
+        diag_p = jnp.moveaxis(_pack_sym(S.diag, rows, cols), 0, -1)
+        pdiag_p = jnp.moveaxis(_pack_sym(pdiag, rows, cols), 0, -1)
+        upper_l = jnp.moveaxis(upper_pad, 0, -1)
+        x, it = pcg_L(diag_p[..., None], upper_l[..., None],
+                      pdiag_p[..., None], gam.T[..., None],
+                      guess.T[..., None])
+        return x[..., 0].T, it[0]
 
     return solve

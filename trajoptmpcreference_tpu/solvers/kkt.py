@@ -24,6 +24,7 @@ unit-diagonal entries so every knot has uniform shape.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -71,6 +72,11 @@ class KKTSystem:
     cset: C.ConstraintSet
     N: int
     dt: float
+    # route the Schur PCG through the fused Pallas kernel
+    # (ops/pallas_pcg): the whole Krylov loop runs on-chip with the Schur
+    # blocks resident in VMEM instead of ~6 XLA kernels + HBM round-trips
+    # per iteration.  Off-TPU this transparently runs the interpreter.
+    use_pallas_pcg: bool = False
 
     # ---- static sizes ----
     @property
@@ -259,12 +265,20 @@ class KKTSystem:
         (ref: TrajoptMPCReference.py:361-455)."""
         S, gam, invG, E, F = self.schur_blocks(blocks, rho)
         if use_pcg:
-            Pinv = preconditioner(S, precond)
-            res = pcg(S, gam, Pinv, guess=guess,
-                      exit_tolerance=pcg_tol, max_iter=pcg_max_iter,
-                      relative=pcg_relative)
-            lam = res.x
-            stats = SchurSolveStats(res.iters, res.converged)
+            if self.use_pallas_pcg:
+                solve = _pallas_pcg_solver(self.N, self.bs, precond,
+                                           pcg_tol, pcg_max_iter,
+                                           pcg_relative)
+                g0 = jnp.zeros_like(gam) if guess is None else guess
+                lam, iters = solve(S, gam, g0)
+                stats = SchurSolveStats(iters, iters < pcg_max_iter)
+            else:
+                Pinv = preconditioner(S, precond)
+                res = pcg(S, gam, Pinv, guess=guess,
+                          exit_tolerance=pcg_tol, max_iter=pcg_max_iter,
+                          relative=pcg_relative)
+                lam = res.x
+                stats = SchurSolveStats(res.iters, res.converged)
         else:
             lam = btd_block_thomas(S, gam)
             stats = SchurSolveStats(jnp.array(0), jnp.array(True))
@@ -304,6 +318,16 @@ class KKTSystem:
             fn, mesh=mesh, in_specs=(rep,) * 7, out_specs=rep,
             check_vma=False)(E, F, rhs, D, G, blocks.g, guess)
         return dxu, lam, SchurSolveStats(iters, converged)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_pcg_solver(N: int, bs: int, precond: str, tol: float,
+                       max_iter: int, relative: bool):
+    """Cached per-(shape, hyperparameter) fused-PCG closure — the kernel is
+    specialized on all of these, and KKTSystem is rebuilt freely."""
+    from trajoptmpcreference_tpu.ops.pallas_pcg import make_batched_pcg
+    return make_batched_pcg(N, bs, precond=precond, tol=tol,
+                            max_iter=max_iter, relative=relative)
 
 
 def _lstsq(A, b):

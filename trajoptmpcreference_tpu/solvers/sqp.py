@@ -439,7 +439,8 @@ class SQPSolver:
 def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
              N: int, dt: float, method: str = "N",
              options: Optional[SQPOptions] = None,
-             mesh=None, horizon_axis: str = "horizon") -> SQPSolver:
+             mesh=None, horizon_axis: str = "horizon",
+             use_pallas_pcg: bool = False) -> SQPSolver:
     """Build a jit-specialized SQP solver (the reference's
     TrajoptMPCReference(plant, cost, constraints).SQP entry point,
     ref: TrajoptMPCReference.py:29-42,510).  ``method`` accepts a string or
@@ -447,7 +448,8 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
 
     mesh + horizon_axis: run the Schur/PCG phase horizon-sharded over the
     named mesh axis (requires a PCG method and N divisible by the axis
-    size)."""
+    size).  use_pallas_pcg: run the Schur PCG as the fused on-chip Pallas
+    kernel (ops/pallas_pcg; interpreter off-TPU)."""
     from trajoptmpcreference_tpu.solvers.methods import method_str
     method = method_str(method)
     if method not in SQP_METHODS:
@@ -457,7 +459,8 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     if cset is None:
         cset = C.ConstraintSet(plant.nq, plant.nv, plant.nu, N)
     options = options or SQPOptions()
-    kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt)
+    kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
+                    use_pallas_pcg=use_pallas_pcg)
     if mesh is not None:
         if not method.startswith("PCG"):
             raise ValueError(
