@@ -97,3 +97,35 @@ def test_fixed_joint_elimination(tmp_path):
     assert robot.n == 2           # fixed joint eliminated
     # second joint origin = 0.25 + 0.75 = 1.0 along y
     np.testing.assert_allclose(robot.t_fixed[1], [0.0, 1.0, 0.0], atol=1e-12)
+
+
+def test_bfs_secondary_numbering(tmp_path):
+    """BFS levels/order on a branched tree (the reference's secondary
+    bfs numbering, ref: URDFParser.py:389-418): a Y-shaped robot —
+    base -> j0 -> l1, then l1 -> {jA -> lA -> jA2 -> lA2, jB -> lB}."""
+    inertial = """<inertial><origin rpy="0 0 0" xyz="0 0.5 0"/>
+      <mass value="0.1"/>
+      <inertia ixx="0.008" ixy="0" ixz="0" iyy="0.008" iyz="0" izz="0.0001"/>
+    </inertial>"""
+    j = lambda name, p, c: f"""<joint name="{name}" type="revolute">
+    <parent link="{p}"/><child link="{c}"/>
+    <origin rpy="0 0 0" xyz="0 1 0"/><axis xyz="0 0 1"/></joint>"""
+    urdf = f"""<?xml version="1.0"?>
+<robot name="ytree">
+  <link name="base"/>
+  {j("j0", "base", "l1")}<link name="l1">{inertial}</link>
+  {j("jA", "l1", "lA")}<link name="lA">{inertial}</link>
+  {j("jA2", "lA", "lA2")}<link name="lA2">{inertial}</link>
+  {j("jB", "l1", "lB")}<link name="lB">{inertial}</link>
+</robot>"""
+    p = tmp_path / "y.urdf"
+    p.write_text(urdf)
+    robot = parse_urdf(str(p))
+    assert robot.n == 4
+    # DFS ids: j0=0, jA=1, jA2=2, jB=3 (subtree before sibling)
+    assert robot.parent == (-1, 0, 1, 0)
+    np.testing.assert_array_equal(robot.bfs_level, [0, 1, 2, 1])
+    # BFS order visits level-by-level: j0, then {jA, jB}, then jA2
+    np.testing.assert_array_equal(robot.bfs_order, [0, 1, 3, 2])
+    assert robot.joints_by_bfs_level() == ((0,), (1, 3), (2,))
+    assert not robot.is_serial_chain()

@@ -116,6 +116,35 @@ class RobotModel:
     def leaves(self) -> Tuple[int, ...]:
         return tuple(j for j in range(self.n) if len(self.subtree(j)) == 1)
 
+    @property
+    def bfs_level(self) -> np.ndarray:
+        """(n,) depth of each joint below the fixed base (base children = 0).
+
+        The reference's secondary BFS numbering (ref: GRiD/URDFParser/
+        URDFParser.py:389-418 bfs_order; level drives which joints a
+        level-parallel kernel may process together).  Derived from
+        ``parent`` — topology-as-data, nothing stored."""
+        lvl = np.zeros(self.n, dtype=np.int64)
+        for j in range(self.n):        # parents precede children (DFS ids)
+            p = self.parent[j]
+            lvl[j] = 0 if p < 0 else lvl[p] + 1
+        return lvl
+
+    @property
+    def bfs_order(self) -> np.ndarray:
+        """(n,) joint ids in BFS (level-major) order.  Within a level the
+        DFS ids keep the reference's sibling declaration order, so this
+        matches its bfs_id assignment (ref: URDFParser.py:389-418)."""
+        return np.argsort(self.bfs_level, kind="stable")
+
+    def joints_by_bfs_level(self) -> Tuple[Tuple[int, ...], ...]:
+        """Joint ids grouped per BFS level — the unit of tree-parallelism
+        (the reference's get_ids_by_bfs_level analogue)."""
+        lvl = self.bfs_level
+        return tuple(
+            tuple(int(j) for j in np.flatnonzero(lvl == d))
+            for d in range(int(lvl.max()) + 1))
+
     def is_serial_chain(self) -> bool:
         return all(j - self.parent[j] == 1 for j in range(self.n))
 
