@@ -346,3 +346,43 @@ def ArmCost(Q, QF, R, xg, l1: float = 1.0, l2: float = 1.0,
                 term_gradient, stage_hessian, term_hessian, params0,
                 stage_value_diff=stage_value_diff,
                 term_value_diff=term_value_diff)
+
+
+def total_cost_diff(cost: Cost, cset, cstate, N: int,
+                    X, U, Xc, Uc, cost_params):
+    """J(Xc, Uc) - J(X, U), summed from per-stage differences.
+
+    An f32 merit acceptance must resolve cost changes of order
+    exit_tolerance while J itself can be 1e4..1e6; subtracting two
+    separately-accumulated totals leaves no significant bits.  Summing
+    per-stage differences — each computed in residual form when the cost
+    provides stage_value_diff — keeps the cancellation at
+    O(stage-residual) magnitudes instead of O(J).  Shared by the SQP and
+    iLQR line searches (solvers/sqp.py, solvers/ilqr.py)."""
+    from trajoptmpcreference_tpu.solvers import constraints as C
+
+    ks = jnp.arange(N - 1)
+    svd = cost.stage_value_diff
+
+    def stage(x, u, xc, uc, k):
+        if svd is not None:
+            d = svd(cost_params, x, u, xc, uc, k)
+        else:
+            d = (cost.stage_value(cost_params, xc, uc, k)
+                 - cost.stage_value(cost_params, x, u, k))
+        if cset.has_soft():
+            d = d + (C.stage_soft_value(cset, cstate, xc, uc, k)
+                     - C.stage_soft_value(cset, cstate, x, u, k))
+        return d
+
+    d = jnp.sum(jax.vmap(stage)(X[:, :-1].T, U.T, Xc[:, :-1].T, Uc.T, ks))
+    kN = jnp.asarray(N - 1)
+    if cost.term_value_diff is not None:
+        d = d + cost.term_value_diff(cost_params, X[:, -1], Xc[:, -1], kN)
+    else:
+        d = d + (cost.term_value(cost_params, Xc[:, -1], kN)
+                 - cost.term_value(cost_params, X[:, -1], kN))
+    if cset.has_soft():
+        d = d + (C.term_soft_value(cset, cstate, Xc[:, -1], kN)
+                 - C.term_soft_value(cset, cstate, X[:, -1], kN))
+    return d

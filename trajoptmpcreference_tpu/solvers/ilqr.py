@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from trajoptmpcreference_tpu.models.plants import Plant
 from trajoptmpcreference_tpu.solvers import constraints as C
-from trajoptmpcreference_tpu.solvers.costs import Cost
+from trajoptmpcreference_tpu.solvers.costs import Cost, total_cost_diff
 from trajoptmpcreference_tpu.solvers.sqp import (
     EXIT_MAX_ITER,
     EXIT_RHO_MAX,
@@ -179,25 +179,29 @@ class ILQRSolver:
                 accepted: jnp.ndarray
                 Xc: jnp.ndarray
                 Uc: jnp.ndarray
+                dJ: jnp.ndarray
                 J_new: jnp.ndarray
 
             def body(s: LS) -> LS:
                 Xc, Uc = self.rollout(X, U, K, kff, s.alpha)
-                J_new = self.total_cost(Xc, Uc, cost_params, cstate)
+                # cancellation-safe merit change (costs.total_cost_diff):
+                # the acceptance compares the difference, never two totals
+                dJ = total_cost_diff(self.cost, self.cset, cstate, self.N,
+                                     X, U, Xc, Uc, cost_params)
                 # model reduction for u' = u - alpha*kff: J - J' ~
                 # alpha * Qu.kff - alpha^2/2 * kff.Quu.kff  (> 0 descent)
                 expected = s.alpha * dv1 - 0.5 * s.alpha * s.alpha * dv2
-                ratio = (J - J_new) / expected
-                ok = ((J_new <= J)
+                ratio = -dJ / expected
+                ok = ((dJ <= 0)
                       & (ratio >= o.expected_reduction_min)
                       & (ratio <= o.expected_reduction_max))
                 can_retry = s.alpha > o.alpha_min
                 done = ok | ~can_retry
                 next_alpha = jnp.where(done, s.alpha, s.alpha * o.alpha_factor)
-                return LS(next_alpha, done, ok, Xc, Uc, J_new)
+                return LS(next_alpha, done, ok, Xc, Uc, dJ, J + dJ)
 
             init = LS(jnp.asarray(1.0, dtype), jnp.array(False),
-                      jnp.array(False), X, U, J)
+                      jnp.array(False), X, U, jnp.zeros((), dtype), J)
             return jax.lax.while_loop(lambda s: ~s.done, body, init)
 
         def body(s: S) -> S:
@@ -222,7 +226,7 @@ class ILQRSolver:
             # line-search rejection escalate rho on the way out
             rho1 = jnp.where(converged, s.rho, rho1)
             drho1 = jnp.where(converged, s.drho, drho1)
-            delta_J = s.J - ls.J_new
+            delta_J = -ls.dJ
             exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
             exit_code = jnp.where(~error & (delta_J < o.exit_tolerance),
                                   EXIT_TOL, exit_code)

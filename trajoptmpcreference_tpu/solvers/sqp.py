@@ -123,38 +123,11 @@ class SQPSolver:
     def total_cost_diff(self, X, U, Xc, Uc, cost_params, cstate):
         """J(Xc, Uc) - J(X, U), summed from per-stage differences.
 
-        The f32 merit acceptance (line_search) must resolve cost changes of
-        order exit_tolerance while J itself can be 1e4..1e6; subtracting two
-        separately-accumulated totals leaves no significant bits.  Summing
-        per-stage differences — each computed in residual form when the cost
-        provides stage_value_diff — keeps the cancellation at
-        O(stage-residual) magnitudes instead of O(J)."""
-        ks = jnp.arange(self.N - 1)
-        cost = self.cost
-        svd = cost.stage_value_diff
-
-        def stage(x, u, xc, uc, k):
-            if svd is not None:
-                d = svd(cost_params, x, u, xc, uc, k)
-            else:
-                d = (cost.stage_value(cost_params, xc, uc, k)
-                     - cost.stage_value(cost_params, x, u, k))
-            if self.cset.has_soft():
-                d = d + (C.stage_soft_value(self.cset, cstate, xc, uc, k)
-                         - C.stage_soft_value(self.cset, cstate, x, u, k))
-            return d
-
-        d = jnp.sum(jax.vmap(stage)(X[:, :-1].T, U.T, Xc[:, :-1].T, Uc.T, ks))
-        kN = jnp.asarray(self.N - 1)
-        if cost.term_value_diff is not None:
-            d = d + cost.term_value_diff(cost_params, X[:, -1], Xc[:, -1], kN)
-        else:
-            d = d + (cost.term_value(cost_params, Xc[:, -1], kN)
-                     - cost.term_value(cost_params, X[:, -1], kN))
-        if self.cset.has_soft():
-            d = d + (C.term_soft_value(self.cset, cstate, Xc[:, -1], kN)
-                     - C.term_soft_value(self.cset, cstate, X[:, -1], kN))
-        return d
+        Cancellation-safe in f32 (see costs.total_cost_diff, the shared
+        implementation)."""
+        from trajoptmpcreference_tpu.solvers.costs import total_cost_diff
+        return total_cost_diff(self.cost, self.cset, cstate, self.N,
+                               X, U, Xc, Uc, cost_params)
 
     def total_violation(self, X, U, xs):
         """Initial-state + dynamics defects + active hard-constraint values
