@@ -62,7 +62,9 @@ def main():
     from __graft_entry__ import _flagship_mpc
 
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas)
+    use_pallas_pcg = os.environ.get("BENCH_PALLAS_PCG", "0") == "1"
+    plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
+                                      use_pallas_pcg=use_pallas_pcg)
     nx = plant.nx
     dtype = jnp.float32
 
@@ -123,8 +125,11 @@ def main():
             lats.append(((t2 - t1) - (t1 - t0)) / (s2 - s1))
         return float(np.median(lats) * 1e3)    # ms, p50 over reps
 
-    p50_b1_ms = step_latency(1)
-    p50_bb_ms = step_latency(B)
+    if os.environ.get("BENCH_LATENCY", "1") == "1":
+        p50_b1_ms = step_latency(1)
+        p50_bb_ms = step_latency(B)
+    else:                         # A/B throughput runs skip the extra compiles
+        p50_b1_ms = p50_bb_ms = float("nan")
     budget_ms = ctrl.solver.dt * 1e3 if hasattr(ctrl, "solver") else 15.0
 
     quality = (f"median EE err {med_err:.3f} m from "

@@ -88,6 +88,22 @@ def _shift_prev(x):
     return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
 
 
+def _block_apply(U, x, bs: int, transpose: bool = False):
+    """y_i = sum_j U[i,j] x_j (or U^T when transpose) per knot/lane,
+    statically unrolled: a broadcast einsum over the (bs, bs, N, BT)
+    array would materialize the full 4.5 MB elementwise product before
+    reducing — the single biggest VMEM temp in the kernel; the unrolled
+    ladder peaks at one (N, BT) tile instead."""
+    ys = []
+    for i in range(bs):
+        acc = None
+        for j in range(bs):
+            t = (U[j, i] if transpose else U[i, j]) * x[j]
+            acc = t if acc is None else acc + t
+        ys.append(acc)
+    return jnp.stack(ys)
+
+
 def _matvec(diag_p, upper, x, bs, pos):
     """Block-tridiag matvec, block-leading layout.
 
@@ -96,22 +112,22 @@ def _matvec(diag_p, upper, x, bs, pos):
     """
     y = _sym_apply(diag_p, x, bs, pos)
     # y_k += U_k x_{k+1}
-    y = y + jnp.sum(upper * _shift_next(x)[None, :, :, :], axis=1)
-    # y_k += U_{k-1}^T x_{k-1}
-    xp = _shift_prev(x)
-    up = jnp.concatenate(
-        [jnp.zeros_like(upper[:, :, :1]), upper[:, :, :-1]], axis=2)
-    y = y + jnp.sum(up * xp[:, None, :, :], axis=0)
+    y = y + _block_apply(upper, _shift_next(x), bs)
+    # y_k += U_{k-1}^T x_{k-1}  ==  shift_prev_k(U_k^T x_k): shift the
+    # SMALL (bs, N, BT) product, never a copy of the 4.7 MB upper array
+    y = y + _shift_prev(_block_apply(upper, x, bs, transpose=True))
     return y
 
 
-def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
+def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
                 x_ref, iters_ref, *, bs: int, pos, max_iter: int,
                 tol: float, precond: str, relative: bool):
+    # r0 = b - A x0 is precomputed OUTSIDE the kernel (one XLA btd_matvec):
+    # keeping b AND r0 resident would cost one more (bs, N, BT) VMEM buffer
+    # than the flagship config has room for.
     diag_p = diag_ref[:]
     upper = upper_ref[:]
     pdiag_p = pdiag_ref[:]
-    b = b_ref[:]
     x0 = guess_ref[:]
 
     def apply_P(r):
@@ -121,16 +137,15 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
         s = _sym_apply(pdiag_p, r, bs, pos)
         if precond != "SS":
             return s
-        off = jnp.sum(upper * _shift_next(s)[None, :, :, :], axis=1)
-        up = jnp.concatenate(
-            [jnp.zeros_like(upper[:, :, :1]), upper[:, :, :-1]], axis=2)
-        off = off + jnp.sum(up * _shift_prev(s)[:, None, :, :], axis=0)
+        off = _block_apply(upper, _shift_next(s), bs)
+        # U_{k-1}^T s_{k-1} via the shifted small product (see _matvec)
+        off = off + _shift_prev(_block_apply(upper, s, bs, transpose=True))
         return s - _sym_apply(pdiag_p, off, bs, pos)
 
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))          # per-lane (BT,)
 
-    r0 = b - _matvec(diag_p, upper, x0, bs, pos)
+    r0 = r0_ref[:]
     rt0 = apply_P(r0)
     nu0 = dot(r0, rt0)
     # per-lane threshold; relative = scale-invariant exit with a floor for
@@ -165,16 +180,16 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, b_ref, guess_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, it, jnp.int32)  # (1, BT)
 
 
-def _pallas_pcg_lanes(diag_p, upper, pdiag_p, b, guess, bs: int, pos,
+def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
                       tol: float, max_iter: int, block_b: int,
                       interpret: bool, precond: str, relative: bool):
     """Launch one grid=() kernel per 128-lane batch tile (lax.map outside —
     a Pallas grid would double-buffer the resident blocks).
 
     Layouts: diag_p/pdiag_p (T, N, L) packed symmetric, upper
-    (bs, bs, N, L) tail-padded, b/guess (bs, N, L).
+    (bs, bs, N, L) tail-padded, r0/guess (bs, N, L).
     """
-    N, L = b.shape[1], b.shape[2]
+    N, L = r0.shape[1], r0.shape[2]
     BT = min(block_b, L)
     if L % BT:
         raise ValueError(f"lane count {L} must divide by tile {BT}")
@@ -194,20 +209,23 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, b, guess, bs: int, pos,
             out_specs=[whole(bb),
                        pl.BlockSpec((1, BT), lambda: (0, 0),
                                     memory_space=vmem)],
-            out_shape=[jax.ShapeDtypeStruct((bs, N, BT), b.dtype),
+            out_shape=[jax.ShapeDtypeStruct((bs, N, BT), r0.dtype),
                        jax.ShapeDtypeStruct((1, BT), jnp.int32)],
+            # guess buffer becomes the x output (read once at init, written
+            # once at exit) — the ~0.4 MB that decides the VMEM fit
+            input_output_aliases={4: 0},
             interpret=interpret,
         )(dp, up, pp, bb, gg)
 
     if n_tiles == 1:
-        x, iters = one_tile((diag_p, upper, pdiag_p, b, guess))
+        x, iters = one_tile((diag_p, upper, pdiag_p, r0, guess))
         return x, iters[0]
 
     tiles = lambda a: jnp.moveaxis(
         a.reshape(a.shape[:-1] + (n_tiles, BT)), -2, 0)
     x_t, it_t = jax.lax.map(
         one_tile, (tiles(diag_p), tiles(upper), tiles(pdiag_p),
-                   tiles(b), tiles(guess)))
+                   tiles(r0), tiles(guess)))
     untile = lambda a: jnp.moveaxis(a, 0, -2).reshape(
         a.shape[1:-1] + (n_tiles * a.shape[-1],))
     return untile(x_t), untile(it_t)[0]
@@ -236,12 +254,12 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
     rows, cols, pos = _tri_indices(bs)
 
     @custom_vmap
-    def pcg_L(diag_p, upper, pdiag_p, b, guess):
+    def pcg_L(diag_p, upper, pdiag_p, r0, guess):
         # lane-carrying signature: trailing axis L on every arg; the rule
         # folds vmapped axes into it (recursively, like ops/lanes.py)
-        L = b.shape[-1]
+        L = r0.shape[-1]
         itp = interpret or (L % 128 != 0)
-        return _pallas_pcg_lanes(diag_p, upper, pdiag_p, b, guess,
+        return _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess,
                                  bs=bs, pos=pos, tol=tol,
                                  max_iter=max_iter, block_b=block_b,
                                  interpret=itp, precond=precond,
@@ -263,12 +281,15 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
             pdiag = _inv_blocks(S.diag)
         upper_pad = jnp.concatenate(
             [S.upper, jnp.zeros_like(S.upper[:1])], axis=0)
+        # initial residual outside the kernel (see _pcg_kernel VMEM note)
+        from trajoptmpcreference_tpu.ops.btridiag import btd_matvec
+        r0 = gam - btd_matvec(S, guess)
         # to block-leading lane layout: (N, bs, bs) -> (bs, bs, N, 1) etc.
         diag_p = jnp.moveaxis(_pack_sym(S.diag, rows, cols), 0, -1)
         pdiag_p = jnp.moveaxis(_pack_sym(pdiag, rows, cols), 0, -1)
         upper_l = jnp.moveaxis(upper_pad, 0, -1)
         x, it = pcg_L(diag_p[..., None], upper_l[..., None],
-                      pdiag_p[..., None], gam.T[..., None],
+                      pdiag_p[..., None], r0.T[..., None],
                       guess.T[..., None])
         return x[..., 0].T, it[0]
 
