@@ -61,7 +61,10 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_mpc
 
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # Pallas fd_grad is the TPU default: 2136.4 vs 2108.7 solves/s on
+    # the 150-step bench, same tracking quality (off-TPU the lanes
+    # path falls back to XLA automatically)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     use_pallas_pcg = os.environ.get("BENCH_PALLAS_PCG", "0") == "1"
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
                                       use_pallas_pcg=use_pallas_pcg)

@@ -143,7 +143,14 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
         return s - _sym_apply(pdiag_p, off, bs, pos)
 
     def dot(a, c):
-        return jnp.sum(a * c, axis=(0, 1))          # per-lane (BT,)
+        # per-lane (BT,); unrolled over block rows — the fused form
+        # jnp.sum(a * c, axis=(0, 1)) materializes a (bs, N, BT) product
+        # first, and the flagship config is ~100 KB from the VMEM limit
+        acc = None
+        for i in range(bs):
+            t = jnp.sum(a[i] * c[i], axis=0)
+            acc = t if acc is None else acc + t
+        return acc
 
     r0 = r0_ref[:]
     rt0 = apply_P(r0)
@@ -211,9 +218,11 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
                                     memory_space=vmem)],
             out_shape=[jax.ShapeDtypeStruct((bs, N, BT), r0.dtype),
                        jax.ShapeDtypeStruct((1, BT), jnp.int32)],
-            # guess buffer becomes the x output (read once at init, written
-            # once at exit) — the ~0.4 MB that decides the VMEM fit
-            input_output_aliases={4: 0},
+            # NB: do NOT alias the guess buffer onto the x output — inside
+            # the full MPC scan/while graph the alias trips an XLA
+            # memory-space CHECK failure ("conflicting pending required
+            # assignment"), and after the _block_apply unrolling the kernel
+            # fits VMEM without it.
             interpret=interpret,
         )(dp, up, pp, bb, gg)
 
@@ -234,6 +243,7 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
 def make_batched_pcg(N: int, bs: int, precond: str = "SS",
                      tol: float = 1e-4, max_iter: int = 40,
                      block_b: int = 128, relative: bool = False,
+                     precond_dtype=None,
                      interpret: Optional[bool] = None):
     """Per-sample-signature PCG backed by the fused Pallas kernel.
 
@@ -244,7 +254,23 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
     (see _pcg_kernel.apply_P).  Diagonal blocks must be symmetric (PCG
     already requires a symmetric operator); they and their inverses are
     stored packed (see module docstring).
+
+    precond_dtype: storage dtype of the packed preconditioner blocks
+    (compute stays f32 via promotion).  bf16 halves their VMEM residency —
+    the margin that lets the flagship config compile NESTED in the full
+    MPC graph (XLA charges the kernel ~200 KB extra scoped VMEM there) —
+    and is mathematically safe for the SOLUTION: preconditioner precision
+    perturbs the Krylov path and iteration count, never the fixed point.
+    It does perturb iterate parity with the XLA path, so the default
+    (None) auto-selects: operator dtype when the f32 residency estimate
+    fits comfortably, bf16 only at sizes measured to need it.
     """
+    tri = bs * (bs + 1) // 2
+    # f32 residency estimate per 128-lane tile: packed diag + packed Pinv
+    # + full upper + ~8 live vectors; Mosaic adds ~3 MB of stack on top at
+    # the flagship config (measured), hence the 12.5 MB cutoff.
+    resident_f32 = 4 * 128 * N * (2 * tri + bs * bs + 8 * bs)
+    auto_bf16 = resident_f32 > 12_500_000
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -287,6 +313,10 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
         # to block-leading lane layout: (N, bs, bs) -> (bs, bs, N, 1) etc.
         diag_p = jnp.moveaxis(_pack_sym(S.diag, rows, cols), 0, -1)
         pdiag_p = jnp.moveaxis(_pack_sym(pdiag, rows, cols), 0, -1)
+        pd_dtype = precond_dtype
+        if pd_dtype is None:
+            pd_dtype = jnp.bfloat16 if auto_bf16 else S.diag.dtype
+        pdiag_p = pdiag_p.astype(pd_dtype)
         upper_l = jnp.moveaxis(upper_pad, 0, -1)
         x, it = pcg_L(diag_p[..., None], upper_l[..., None],
                       pdiag_p[..., None], r0.T[..., None],
