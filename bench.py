@@ -66,8 +66,14 @@ def main():
     # path falls back to XLA automatically)
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     use_pallas_pcg = os.environ.get("BENCH_PALLAS_PCG", "0") == "1"
+    knobs = {}
+    if "BENCH_PCG_ITERS" in os.environ:      # tuning sweeps (lockstep vmap
+        knobs["pcg_iters"] = int(os.environ["BENCH_PCG_ITERS"])
+    if "BENCH_SQP_ITERS" in os.environ:      # pays max trip counts)
+        knobs["max_iter"] = int(os.environ["BENCH_SQP_ITERS"])
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
-                                      use_pallas_pcg=use_pallas_pcg)
+                                      use_pallas_pcg=use_pallas_pcg,
+                                      **knobs)
     nx = plant.nx
     dtype = jnp.float32
 

@@ -121,7 +121,8 @@ def _matvec(diag_p, upper, x, bs, pos):
 
 def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
                 x_ref, iters_ref, *, bs: int, pos, max_iter: int,
-                tol: float, precond: str, relative: bool):
+                tol: float, precond: str, relative: bool,
+                true_residual_exit: bool = False):
     # r0 = b - A x0 is precomputed OUTSIDE the kernel (one XLA btd_matvec):
     # keeping b AND r0 resident would cost one more (bs, N, BT) VMEM buffer
     # than the flagship config has room for.
@@ -155,13 +156,20 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
     r0 = r0_ref[:]
     rt0 = apply_P(r0)
     nu0 = dot(r0, rt0)
+    # Exit metric: nu = r'Pinv r (reference semantics) by default.  With a
+    # low-precision preconditioner store, nu is measured through the
+    # perturbed Pinv and exits too early — measured closed-loop collapse
+    # (median EE err 3.25 m vs 0.19 m) — so bf16 mode gates the exit on
+    # the TRUE residual |r|^2 instead: preconditioner precision then
+    # affects only the Krylov path, never the delivered solution quality.
+    m0 = dot(r0, r0) if true_residual_exit else nu0
     # per-lane threshold; relative = scale-invariant exit with a floor for
     # already-converged warm starts (see ops/btridiag.pcg)
     if relative:
-        thr = jnp.maximum(tol * jnp.abs(nu0), 1e-30)
+        thr = jnp.maximum(tol * jnp.abs(m0), 1e-30)
     else:
-        thr = jnp.full_like(nu0, tol)
-    done0 = jnp.all(jnp.abs(nu0) <= thr)    # NaN guard (see btridiag.pcg)
+        thr = jnp.full_like(m0, tol)
+    done0 = jnp.all(jnp.abs(m0) <= thr)     # NaN guard (see btridiag.pcg)
 
     def cond(state):
         _, _, _, nu, it, done = state
@@ -176,7 +184,8 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
         r = r - alpha[None, None, :] * Ap
         rt = apply_P(r)
         nu_new = dot(r, rt)
-        done = jnp.all(jnp.abs(nu_new) <= thr)
+        m = dot(r, r) if true_residual_exit else nu_new
+        done = jnp.all(jnp.abs(m) <= thr)
         beta = nu_new / nu
         p = rt + beta[None, None, :] * p
         return (x, r, p, nu_new, it + 1, done)
@@ -189,7 +198,8 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
 
 def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
                       tol: float, max_iter: int, block_b: int,
-                      interpret: bool, precond: str, relative: bool):
+                      interpret: bool, precond: str, relative: bool,
+                      true_residual_exit: bool = False):
     """Launch one grid=() kernel per 128-lane batch tile (lax.map outside —
     a Pallas grid would double-buffer the resident blocks).
 
@@ -211,7 +221,8 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
         return pl.pallas_call(
             functools.partial(_pcg_kernel, bs=bs, pos=pos,
                               max_iter=max_iter, tol=tol, precond=precond,
-                              relative=relative),
+                              relative=relative,
+                              true_residual_exit=true_residual_exit),
             in_specs=[whole(dp), whole(up), whole(pp), whole(bb), whole(gg)],
             out_specs=[whole(bb),
                        pl.BlockSpec((1, BT), lambda: (0, 0),
@@ -289,7 +300,9 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
                                  bs=bs, pos=pos, tol=tol,
                                  max_iter=max_iter, block_b=block_b,
                                  interpret=itp, precond=precond,
-                                 relative=relative)
+                                 relative=relative,
+                                 true_residual_exit=(pdiag_p.dtype
+                                                     != r0.dtype))
 
     @pcg_L.def_vmap
     def _rule(axis_size, in_batched, *args):

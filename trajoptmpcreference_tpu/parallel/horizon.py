@@ -192,6 +192,10 @@ def sharded_schur_solve(E, F, rhs, D, G, g, guess, ax: str, *,
     EiE = _bmm(_bmm(El, invG_prev), ElT)
     FiF = _bmm(_bmm(Fl, invGl), FlT)
     Sd = jax.vmap(jnp.diag)(Dl) - FiF - EiE
+    # explicit symmetrization, same as kkt.schur_blocks: the f32 products
+    # leave rounding asymmetry and every linear path must solve the SAME
+    # operator
+    Sd = 0.5 * (Sd + jnp.swapaxes(Sd, -1, -2))
     So = -_bmm(_bmm(Fl, invGl), E_nextT)   # zero at the last global row
     So_left, _ = _halo_exchange(So, ax)
     S_sh = ShardedBTD(Sd, So, So_left[None])

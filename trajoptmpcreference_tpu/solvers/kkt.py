@@ -241,6 +241,13 @@ class KKTSystem:
         FiF = _bmm(_bmm(F, invG), FT)
         Sd = jax.vmap(jnp.diag)(D) - FiF
         Sd = Sd.at[1:].add(-EiE)
+        # S is mathematically symmetric but the f32 E invG E^T products
+        # leave ~1e-4 relative asymmetry (Gauss-Jordan invG is not exactly
+        # symmetric); CG assumes symmetry, and the packed-symmetric Pallas
+        # kernel silently symmetrizes — make it explicit so every linear
+        # path (XLA PCG, block-Thomas, fused kernel, sharded) solves the
+        # SAME operator.
+        Sd = 0.5 * (Sd + jnp.swapaxes(Sd, -1, -2))
         # S_{k,k+1} = -F_k invG_k E_{k+1}^T
         So = -_bmm(_bmm(F[:-1], invG[:-1]), ET[1:])
         # gamma_k = rhs_k - E_k invG_{k-1} g_{k-1} - F_k invG_k g_k
