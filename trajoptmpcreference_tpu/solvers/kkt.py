@@ -76,6 +76,16 @@ class KKTSystem:
     # (ops/pallas_pcg): the whole Krylov loop runs on-chip with the Schur
     # blocks resident in VMEM instead of ~6 XLA kernels + HBM round-trips
     # per iteration.  Off-TPU this transparently runs the interpreter.
+    #
+    # Measured at the flagship config (150-step B=512 MPC bench): +4.4%
+    # throughput (2229 vs 2135 solves/s) but DEGRADED closed-loop tracking
+    # (median EE err 3.36 m vs 0.18 m).  Root cause: VMEM forces bf16
+    # preconditioner storage, whose noise floor keeps the kernel's exit
+    # metric from ever firing — every solve overruns to max_iter and f32
+    # CG stagnation wanders the iterate, while the XLA path's nu-metric
+    # early exits (iters 7-29) deliver better search directions.  Kept
+    # opt-in OFF until the kernel fits an f32 preconditioner (or gains a
+    # reliable stagnation-stop); the default XLA path wins end-to-end.
     use_pallas_pcg: bool = False
 
     # ---- static sizes ----
