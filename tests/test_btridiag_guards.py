@@ -28,3 +28,36 @@ def test_exact_warm_start_no_nan():
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_star),
                                atol=1e-10)
     assert int(res.iters) == 0
+
+
+def test_schur_diag_exactly_symmetric_f32():
+    """kkt.schur_blocks must return EXACTLY symmetric diagonal blocks in
+    f32 (regression: the raw E invG E^T / F invG F^T products leave ~1e-4
+    relative asymmetry, so the packed-symmetric Pallas PCG silently solved
+    a different operator than the XLA path — CG assumes symmetry, make it
+    explicit for every linear path)."""
+    import jax
+    import numpy as np2
+
+    from trajoptmpcreference_tpu import URDFPlant, UrdfCost, make_sqp, serial_arm
+
+    plant = URDFPlant(robot=serial_arm(6))
+    N = 16
+    cost = UrdfCost(plant,
+                    jnp.eye(6, dtype=jnp.float32),        # task-space Q
+                    100.0 * jnp.eye(6, dtype=jnp.float32),
+                    0.01 * jnp.eye(6, dtype=jnp.float32),
+                    jnp.asarray([3.0, 2.0, 0, 0, 0, 0], jnp.float32))
+    solver = make_sqp(plant, cost, None, N, 0.015, method="PCG-SS")
+    kkt = solver.kkt
+    rng = np2.random.default_rng(0)
+    x0 = jnp.asarray(0.1 * rng.standard_normal(plant.nx), jnp.float32)
+    X = jnp.tile(x0[:, None], (1, N))
+    U = jnp.asarray(0.01 * rng.standard_normal((plant.nu, N - 1)),
+                    jnp.float32)
+    blocks = kkt.form_blocks(X, U, x0, cost.default_params,
+                             solver.cset.init_state(dtype=jnp.float32))
+    S, gam, invG, E, F = jax.jit(kkt.schur_blocks)(
+        blocks, jnp.asarray(1e-3, jnp.float32))
+    asym = float(jnp.max(jnp.abs(S.diag - jnp.swapaxes(S.diag, 1, 2))))
+    assert asym == 0.0, asym
