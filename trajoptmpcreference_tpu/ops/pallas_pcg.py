@@ -119,17 +119,18 @@ def _matvec(diag_p, upper, x, bs, pos):
     return y
 
 
-def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
+def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref,
                 x_ref, iters_ref, *, bs: int, pos, max_iter: int,
                 tol: float, precond: str, relative: bool,
                 true_residual_exit: bool = False):
-    # r0 = b - A x0 is precomputed OUTSIDE the kernel (one XLA btd_matvec):
-    # keeping b AND r0 resident would cost one more (bs, N, BT) VMEM buffer
-    # than the flagship config has room for.
+    # CG is translation-invariant, so the kernel solves S dx = r0 from a
+    # ZERO initial iterate; the caller precomputes r0 = b - A x0 (one XLA
+    # btd_matvec) and adds x = x0 + dx outside.  This keeps both the b and
+    # the guess buffers out of VMEM — the flagship config is ~100-400 KB
+    # from the scoped limit when nested in the full MPC graph.
     diag_p = diag_ref[:]
     upper = upper_ref[:]
     pdiag_p = pdiag_ref[:]
-    x0 = guess_ref[:]
 
     def apply_P(r):
         # VMEM budget: the SS off-diagonal blocks are never materialized —
@@ -154,6 +155,7 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
         return acc
 
     r0 = r0_ref[:]
+    x0 = jnp.zeros_like(r0)
     rt0 = apply_P(r0)
     nu0 = dot(r0, rt0)
     # Exit metric: nu = r'Pinv r (reference semantics) by default.  With a
@@ -196,7 +198,7 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref, guess_ref,
     iters_ref[:] = jnp.full(iters_ref.shape, it, jnp.int32)  # (1, BT)
 
 
-def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
+def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, bs: int, pos,
                       tol: float, max_iter: int, block_b: int,
                       interpret: bool, precond: str, relative: bool,
                       true_residual_exit: bool = False):
@@ -204,7 +206,8 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
     a Pallas grid would double-buffer the resident blocks).
 
     Layouts: diag_p/pdiag_p (T, N, L) packed symmetric, upper
-    (bs, bs, N, L) tail-padded, r0/guess (bs, N, L).
+    (bs, bs, N, L) tail-padded, r0 (bs, N, L).  Returns dx from a zero
+    initial iterate (see _pcg_kernel).
     """
     N, L = r0.shape[1], r0.shape[2]
     BT = min(block_b, L)
@@ -217,35 +220,33 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
                                    memory_space=vmem)
 
     def one_tile(args):
-        dp, up, pp, bb, gg = args
+        dp, up, pp, bb = args
         return pl.pallas_call(
             functools.partial(_pcg_kernel, bs=bs, pos=pos,
                               max_iter=max_iter, tol=tol, precond=precond,
                               relative=relative,
                               true_residual_exit=true_residual_exit),
-            in_specs=[whole(dp), whole(up), whole(pp), whole(bb), whole(gg)],
+            in_specs=[whole(dp), whole(up), whole(pp), whole(bb)],
             out_specs=[whole(bb),
                        pl.BlockSpec((1, BT), lambda: (0, 0),
                                     memory_space=vmem)],
             out_shape=[jax.ShapeDtypeStruct((bs, N, BT), r0.dtype),
                        jax.ShapeDtypeStruct((1, BT), jnp.int32)],
-            # NB: do NOT alias the guess buffer onto the x output — inside
-            # the full MPC scan/while graph the alias trips an XLA
-            # memory-space CHECK failure ("conflicting pending required
-            # assignment"), and after the _block_apply unrolling the kernel
-            # fits VMEM without it.
+            # NB: no input_output_aliases — inside the full MPC
+            # scan/while graph an alias trips an XLA memory-space CHECK
+            # failure ("conflicting pending required assignment").
             interpret=interpret,
-        )(dp, up, pp, bb, gg)
+        )(dp, up, pp, bb)
 
     if n_tiles == 1:
-        x, iters = one_tile((diag_p, upper, pdiag_p, r0, guess))
+        x, iters = one_tile((diag_p, upper, pdiag_p, r0))
         return x, iters[0]
 
     tiles = lambda a: jnp.moveaxis(
         a.reshape(a.shape[:-1] + (n_tiles, BT)), -2, 0)
     x_t, it_t = jax.lax.map(
         one_tile, (tiles(diag_p), tiles(upper), tiles(pdiag_p),
-                   tiles(r0), tiles(guess)))
+                   tiles(r0)))
     untile = lambda a: jnp.moveaxis(a, 0, -2).reshape(
         a.shape[1:-1] + (n_tiles * a.shape[-1],))
     return untile(x_t), untile(it_t)[0]
@@ -254,7 +255,7 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess, bs: int, pos,
 def make_batched_pcg(N: int, bs: int, precond: str = "SS",
                      tol: float = 1e-4, max_iter: int = 40,
                      block_b: int = 128, relative: bool = False,
-                     precond_dtype=None,
+                     precond_dtype=None, operator_dtype=None,
                      interpret: Optional[bool] = None):
     """Per-sample-signature PCG backed by the fused Pallas kernel.
 
@@ -276,6 +277,7 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
     (None) auto-selects: operator dtype when the f32 residency estimate
     fits comfortably, bf16 only at sizes measured to need it.
     """
+    operator_dtype_in = operator_dtype
     tri = bs * (bs + 1) // 2
     # f32 residency estimate per 128-lane tile: packed diag + packed Pinv
     # + full upper + ~8 live vectors; Mosaic adds ~3 MB of stack on top at
@@ -291,12 +293,12 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
     rows, cols, pos = _tri_indices(bs)
 
     @custom_vmap
-    def pcg_L(diag_p, upper, pdiag_p, r0, guess):
+    def pcg_L(diag_p, upper, pdiag_p, r0):
         # lane-carrying signature: trailing axis L on every arg; the rule
         # folds vmapped axes into it (recursively, like ops/lanes.py)
         L = r0.shape[-1]
         itp = interpret or (L % 128 != 0)
-        return _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, guess,
+        return _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0,
                                  bs=bs, pos=pos, tol=tol,
                                  max_iter=max_iter, block_b=block_b,
                                  interpret=itp, precond=precond,
@@ -326,14 +328,18 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
         # to block-leading lane layout: (N, bs, bs) -> (bs, bs, N, 1) etc.
         diag_p = jnp.moveaxis(_pack_sym(S.diag, rows, cols), 0, -1)
         pdiag_p = jnp.moveaxis(_pack_sym(pdiag, rows, cols), 0, -1)
-        pd_dtype = precond_dtype
-        if pd_dtype is None:
-            pd_dtype = jnp.bfloat16 if auto_bf16 else S.diag.dtype
-        pdiag_p = pdiag_p.astype(pd_dtype)
+        # MEASURED: bf16 storage of EITHER block array destroys the solve
+        # on the real (ill-conditioned) Schur systems — entries span
+        # ~1e2..1e6 and the 8-bit mantissa wipes the structure PCG needs
+        # (lam error ~100% of scale vs 17% for f32; closed-loop collapse).
+        # f32 everywhere; the VMEM fit comes from the zero-init dx form.
+        if operator_dtype_in is not None:
+            diag_p = diag_p.astype(operator_dtype_in)
+        if precond_dtype is not None:
+            pdiag_p = pdiag_p.astype(precond_dtype)
         upper_l = jnp.moveaxis(upper_pad, 0, -1)
-        x, it = pcg_L(diag_p[..., None], upper_l[..., None],
-                      pdiag_p[..., None], r0.T[..., None],
-                      guess.T[..., None])
-        return x[..., 0].T, it[0]
+        dx, it = pcg_L(diag_p[..., None], upper_l[..., None],
+                       pdiag_p[..., None], r0.T[..., None])
+        return guess + dx[..., 0].T, it[0]
 
     return solve
