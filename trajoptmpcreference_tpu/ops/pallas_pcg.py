@@ -338,6 +338,14 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
         if precond_dtype is not None:
             pdiag_p = pdiag_p.astype(precond_dtype)
         upper_l = jnp.moveaxis(upper_pad, 0, -1)
+        # KNOWN UPSTREAM ISSUE (2026-08-17): the axon remote TPU compiler
+        # currently CHECK-fails in memory-space assignment ("conflicting
+        # pending required assignment for: copy.NNNN") when this kernel is
+        # nested in the full MPC scan/while graph — for every variant
+        # tried, including the exact config previously measured at 2229
+        # solves/s and with optimization_barrier fences on all operands.
+        # Standalone solves and the CPU interpreter path are unaffected;
+        # see analysis/bench_history_r2.md for the bisection matrix.
         dx, it = pcg_L(diag_p[..., None], upper_l[..., None],
                        pdiag_p[..., None], r0.T[..., None])
         return guess + dx[..., 0].T, it[0]
