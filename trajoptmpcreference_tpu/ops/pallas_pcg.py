@@ -33,6 +33,7 @@ interpreter for correctness tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -120,7 +121,7 @@ def _matvec(diag_p, upper, x, bs, pos):
 
 
 def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref,
-                x_ref, iters_ref, *, bs: int, pos, max_iter: int,
+                x_ref, iters_ref=None, *, bs: int, pos, max_iter: int,
                 tol: float, precond: str, relative: bool,
                 true_residual_exit: bool = False):
     # CG is translation-invariant, so the kernel solves S dx = r0 from a
@@ -195,7 +196,8 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref,
     init = (x0, r0, rt0, nu0, jnp.zeros((), jnp.int32), done0)
     x, r, p, nu, it, done = jax.lax.while_loop(cond, body, init)
     x_ref[:] = x
-    iters_ref[:] = jnp.full(iters_ref.shape, it, jnp.int32)  # (1, BT)
+    if iters_ref is not None:
+        iters_ref[:] = jnp.full(iters_ref.shape, it, jnp.int32)  # (1, BT)
 
 
 def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, bs: int, pos,
@@ -219,29 +221,50 @@ def _pallas_pcg_lanes(diag_p, upper, pdiag_p, r0, bs: int, pos,
     whole = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim,
                                    memory_space=vmem)
 
+    # probe knob for the memory-space-assignment CHECK failure: drop the
+    # (1, BT) int32 iteration-count output from the kernel entirely
+    no_iters = os.environ.get("TMR_PCG_NO_ITERS", "0") == "1"
+
     def one_tile(args):
         dp, up, pp, bb = args
-        return pl.pallas_call(
+        out_specs = [whole(bb)]
+        out_shape = [jax.ShapeDtypeStruct((bs, N, BT), r0.dtype)]
+        if not no_iters:
+            out_specs.append(pl.BlockSpec((1, BT), lambda: (0, 0),
+                                          memory_space=vmem))
+            out_shape.append(jax.ShapeDtypeStruct((1, BT), jnp.int32))
+        out = pl.pallas_call(
             functools.partial(_pcg_kernel, bs=bs, pos=pos,
                               max_iter=max_iter, tol=tol, precond=precond,
                               relative=relative,
                               true_residual_exit=true_residual_exit),
             in_specs=[whole(dp), whole(up), whole(pp), whole(bb)],
-            out_specs=[whole(bb),
-                       pl.BlockSpec((1, BT), lambda: (0, 0),
-                                    memory_space=vmem)],
-            out_shape=[jax.ShapeDtypeStruct((bs, N, BT), r0.dtype),
-                       jax.ShapeDtypeStruct((1, BT), jnp.int32)],
+            out_specs=out_specs,
+            out_shape=out_shape,
             # NB: no input_output_aliases — inside the full MPC
             # scan/while graph an alias trips an XLA memory-space CHECK
             # failure ("conflicting pending required assignment").
             interpret=interpret,
         )(dp, up, pp, bb)
+        if no_iters:
+            return out[0], jnp.full((1, BT), max_iter, jnp.int32)
+        return out
 
     if n_tiles == 1:
         x, iters = one_tile((diag_p, upper, pdiag_p, r0))
         return x, iters[0]
 
+    if os.environ.get("TMR_PCG_UNROLL_TILES", "0") == "1":
+        # Unrolled tile loop: structurally different from lax.map for the
+        # XLA memory-space-assignment pass (workaround probe for the
+        # copy-conflict CHECK failure documented in make_batched_pcg).
+        take = lambda a, i: a[..., i * BT:(i + 1) * BT]
+        outs = [one_tile((take(diag_p, i), take(upper, i),
+                          take(pdiag_p, i), take(r0, i)))
+                for i in range(n_tiles)]
+        x = jnp.concatenate([o[0] for o in outs], axis=-1)
+        it = jnp.concatenate([o[1] for o in outs], axis=-1)
+        return x, it[0]
     tiles = lambda a: jnp.moveaxis(
         a.reshape(a.shape[:-1] + (n_tiles, BT)), -2, 0)
     x_t, it_t = jax.lax.map(
