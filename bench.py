@@ -71,6 +71,10 @@ def main():
         knobs["pcg_iters"] = int(os.environ["BENCH_PCG_ITERS"])
     if "BENCH_SQP_ITERS" in os.environ:      # pays max trip counts)
         knobs["max_iter"] = int(os.environ["BENCH_SQP_ITERS"])
+    if "BENCH_METHOD" in os.environ:         # PCG-SS (default) / S / ...
+        knobs["method"] = os.environ["BENCH_METHOD"]
+    if "BENCH_EXACT_SCHUR" in os.environ:    # cr / thomas (method S)
+        knobs["exact_schur"] = os.environ["BENCH_EXACT_SCHUR"]
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
                                       use_pallas_pcg=use_pallas_pcg,
                                       **knobs)

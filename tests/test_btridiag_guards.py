@@ -61,3 +61,38 @@ def test_schur_diag_exactly_symmetric_f32():
         blocks, jnp.asarray(1e-3, jnp.float32))
     asym = float(jnp.max(jnp.abs(S.diag - jnp.swapaxes(S.diag, 1, 2))))
     assert asym == 0.0, asym
+
+
+def test_sqp_exact_schur_cr_matches_thomas():
+    """Full SQP solves with method 'S' agree between the two exact Schur
+    solvers (cyclic reduction vs block-Thomas) on the flagship-shaped
+    problem — same controls, same exit code."""
+    import jax
+    import numpy as np2
+
+    from trajoptmpcreference_tpu import URDFPlant, UrdfCost, make_sqp, serial_arm
+    from trajoptmpcreference_tpu.solvers.sqp import SQPOptions
+
+    plant = URDFPlant(robot=serial_arm(6))
+    N = 12
+    cost = UrdfCost(plant,
+                    jnp.eye(6),
+                    100.0 * jnp.eye(6),
+                    0.01 * jnp.eye(6),
+                    jnp.asarray([3.0, 2.0, 0, 0, 0, 0.0]))
+    opts = SQPOptions(max_iter=6, expected_reduction_min=-100.0)
+    rng = np2.random.default_rng(3)
+    x0 = jnp.asarray(0.1 * rng.standard_normal(plant.nx))
+    X = jnp.tile(x0[:, None], (1, N))
+    U = jnp.zeros((plant.nu, N - 1))
+    res = {}
+    for es in ("thomas", "cr"):
+        s = make_sqp(plant, cost, None, N, 0.015, method="S",
+                     options=opts, exact_schur=es)
+        res[es] = jax.jit(s.solve)(X, U)
+    # both solvers are exact to ~1e-12 at the linear level; the full-solve
+    # tolerance absorbs roundoff amplified through 6 SQP iterations
+    np2.testing.assert_allclose(np2.asarray(res["cr"].U),
+                                np2.asarray(res["thomas"].U),
+                                rtol=0, atol=1e-6)
+    assert int(res["cr"].exit_sqp) == int(res["thomas"].exit_sqp)

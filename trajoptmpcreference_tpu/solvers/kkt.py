@@ -35,6 +35,7 @@ from trajoptmpcreference_tpu.models.plants import Plant
 from trajoptmpcreference_tpu.ops.btridiag import (
     BlockTridiag,
     btd_block_thomas,
+    btd_cyclic_reduction,
     pcg,
     preconditioner,
     _bmm,
@@ -87,6 +88,12 @@ class KKTSystem:
     # opt-in OFF until the kernel fits an f32 preconditioner (or gains a
     # reliable stagnation-stop); the default XLA path wins end-to-end.
     use_pallas_pcg: bool = False
+    # exact Schur solver for the non-PCG path (method "S"):
+    #   "thomas" — sequential block LU scan (O(N) dependency chain);
+    #   "cr"     — block cyclic reduction (log2(N) levels of batched block
+    #              ops; the TPU-parallel exact solve — see
+    #              ops.btridiag.btd_cyclic_reduction)
+    exact_schur: str = "thomas"
 
     # ---- static sizes ----
     @property
@@ -297,7 +304,10 @@ class KKTSystem:
                 lam = res.x
                 stats = SchurSolveStats(res.iters, res.converged)
         else:
-            lam = btd_block_thomas(S, gam)
+            if self.exact_schur == "cr":
+                lam = btd_cyclic_reduction(S, gam)
+            else:
+                lam = btd_block_thomas(S, gam)
             stats = SchurSolveStats(jnp.array(0), jnp.array(True))
         dxu = self.recover_dxu(invG, E, F, blocks, lam)
         return dxu, lam, stats

@@ -413,7 +413,8 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
              N: int, dt: float, method: str = "N",
              options: Optional[SQPOptions] = None,
              mesh=None, horizon_axis: str = "horizon",
-             use_pallas_pcg: bool = False) -> SQPSolver:
+             use_pallas_pcg: bool = False,
+             exact_schur: str = "thomas") -> SQPSolver:
     """Build a jit-specialized SQP solver (the reference's
     TrajoptMPCReference(plant, cost, constraints).SQP entry point,
     ref: TrajoptMPCReference.py:29-42,510).  ``method`` accepts a string or
@@ -422,7 +423,10 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     mesh + horizon_axis: run the Schur/PCG phase horizon-sharded over the
     named mesh axis (requires a PCG method and N divisible by the axis
     size).  use_pallas_pcg: run the Schur PCG as the fused on-chip Pallas
-    kernel (ops/pallas_pcg; interpreter off-TPU)."""
+    kernel (ops/pallas_pcg; interpreter off-TPU).  exact_schur: for
+    method "S", pick the exact block-tridiagonal solver — "thomas"
+    (sequential scan) or "cr" (block cyclic reduction, log2(N) batched
+    levels; the TPU-parallel choice)."""
     from trajoptmpcreference_tpu.solvers.methods import method_str
     method = method_str(method)
     if method not in SQP_METHODS:
@@ -432,8 +436,12 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     if cset is None:
         cset = C.ConstraintSet(plant.nq, plant.nv, plant.nu, N)
     options = options or SQPOptions()
+    if exact_schur not in ("thomas", "cr"):
+        raise ValueError(
+            f"Invalid exact_schur {exact_schur!r}; options are 'thomas' "
+            "(sequential block LU) or 'cr' (block cyclic reduction)")
     kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
-                    use_pallas_pcg=use_pallas_pcg)
+                    use_pallas_pcg=use_pallas_pcg, exact_schur=exact_schur)
     if mesh is not None:
         if not method.startswith("PCG"):
             raise ValueError(
