@@ -83,6 +83,13 @@ def main():
                 pcg_relative=o.pcg_relative))(perturbed, rho, guess)
         return jnp.sum(dxu[:, 0, 0])
 
+    def phase_schur_exact(t):
+        perturbed = blocks0._replace(g=blocks0.g + t * eps)
+        dxu, lam, stats = jax.vmap(
+            lambda b, r: solver.kkt.solve_schur(b, r, use_pcg=False))(
+            perturbed, rho)
+        return jnp.sum(dxu[:, 0, 0])
+
     def phase_line_search(t):
         ls = jax.vmap(lambda x, u, d, J, c, m, x0, p, cs, w:
                       solver.line_search(x, u, d, J, c, m, x0, p, cs, mu=w))(
@@ -106,6 +113,7 @@ def main():
     phases = {
         "kkt form_blocks (dyn grad + cost grad/hess)": phase_form_blocks,
         "schur + PCG-SS solve (warm guess)": phase_schur_pcg,
+        f"schur + exact solve ({solver.kkt.exact_schur})": phase_schur_exact,
         "line search": phase_line_search,
         "sqp_iterate (QP + LS + schedules)": phase_iterate,
         f"full solve ({o.max_iter} iters, cold)": phase_solve,

@@ -75,6 +75,8 @@ def main():
         knobs["method"] = os.environ["BENCH_METHOD"]
     if "BENCH_EXACT_SCHUR" in os.environ:    # cr / thomas (method S)
         knobs["exact_schur"] = os.environ["BENCH_EXACT_SCHUR"]
+    if "BENCH_PARALLEL_LS" in os.environ:    # 1 = one-pass alpha ladder
+        knobs["parallel_ls"] = os.environ["BENCH_PARALLEL_LS"] == "1"
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
                                       use_pallas_pcg=use_pallas_pcg,
                                       **knobs)
@@ -145,11 +147,15 @@ def main():
         p50_b1_ms = p50_bb_ms = float("nan")
     budget_ms = ctrl.solver.dt * 1e3 if hasattr(ctrl, "solver") else 15.0
 
+    _m = knobs.get("method", "S")
+    method_label = (_m if _m.startswith("PCG")
+                    else f"{_m}/{knobs.get('exact_schur', 'cr')}")
     quality = (f"median EE err {med_err:.3f} m from "
                f"{float(np.median(dist0)):.1f} m, {int(stable.sum())}/{B} "
                f"stable<1m" + ("" if gate_ok else " QUALITY-GATE-FAILED"))
     print(json.dumps({
-        "metric": (f"6-DoF arm N={N} warm-started SQP-PCG MPC solves/s/chip "
+        "metric": (f"6-DoF arm N={N} warm-started SQP-{method_label} "
+                   f"MPC solves/s/chip "
                    f"({backend}, B={B}, {steps}-step episodes, {quality}; "
                    f"p50 step latency {p50_b1_ms:.2f} ms @B=1 / "
                    f"{p50_bb_ms:.2f} ms @B={B} vs {budget_ms:.1f} ms budget)"),

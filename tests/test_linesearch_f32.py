@@ -225,3 +225,58 @@ def test_line_search_f32_scale_invariance(scale):
     assert float(ls_s.alpha) == pytest.approx(float(ls_ref.alpha)), scale
     assert float(ls_s.dJ) == pytest.approx(scale * float(ls_ref.dJ),
                                            rel=5e-2, abs=1e-10), scale
+
+
+def test_parallel_line_search_matches_sequential():
+    """The one-pass alpha-ladder line search selects the same alpha,
+    iterate, and ls_iter as the reference's sequential loop, for both an
+    accepting and a rejecting search."""
+    import dataclasses
+
+    import jax
+    import numpy as np2
+
+    from trajoptmpcreference_tpu import URDFPlant, UrdfCost, make_sqp, serial_arm
+    from trajoptmpcreference_tpu.solvers.sqp import SQPOptions
+
+    plant = URDFPlant(robot=serial_arm(3))
+    N = 8
+    cost = UrdfCost(plant, jnp.eye(6), 50.0 * jnp.eye(6),
+                    0.01 * jnp.eye(3),
+                    jnp.asarray([1.0, 1.5, 0, 0, 0, 0.0]))
+    rng = np2.random.default_rng(5)
+    x0 = jnp.asarray(0.2 * rng.standard_normal(plant.nx))
+    X = jnp.tile(x0[:, None], (1, N))
+    U = jnp.asarray(0.1 * rng.standard_normal((plant.nu, N - 1)))
+
+    for reduction_min in (0.05, -100.0):   # strict gate rejects more alphas
+        opts = SQPOptions(expected_reduction_min=reduction_min)
+        seq = make_sqp(plant, cost, None, N, 0.05, method="S", options=opts)
+        par = make_sqp(plant, cost, None, N, 0.05, method="S",
+                       options=dataclasses.replace(
+                           opts, parallel_line_search=True))
+        xs = X[:, 0]
+        cp = cost.default_params
+        cstate = seq.cset.init_state(dtype=X.dtype)
+        blocks = seq.kkt.form_blocks(X, U, xs, cp, cstate)
+        dxu, _, _ = seq.kkt.solve_schur(blocks, 1e-3)
+        J = seq.total_cost(X, U, cp, cstate)
+        c = seq.total_violation(X, U, xs)
+        mu = seq.merit_weight(J, c)
+        merit = J + mu * c
+        a = jax.jit(seq.line_search)(X, U, dxu, J, c, merit, xs, cp, cstate)
+        b = jax.jit(par.line_search)(X, U, dxu, J, c, merit, xs, cp, cstate)
+        assert float(a.alpha) == float(b.alpha), reduction_min
+        assert bool(a.accepted) == bool(b.accepted)
+        assert int(a.ls_iter) == int(b.ls_iter)
+        np2.testing.assert_allclose(np2.asarray(b.Xc), np2.asarray(a.Xc),
+                                    rtol=0, atol=1e-12)
+        np2.testing.assert_allclose(float(b.merit_new), float(a.merit_new),
+                                    rtol=1e-12)
+
+    # full solves agree end-to-end
+    r_seq = jax.jit(seq.solve)(X, U)
+    r_par = jax.jit(par.solve)(X, U)
+    np2.testing.assert_allclose(np2.asarray(r_par.U), np2.asarray(r_seq.U),
+                                rtol=0, atol=1e-9)
+    assert int(r_par.exit_sqp) == int(r_seq.exit_sqp)

@@ -72,6 +72,16 @@ class SQPOptions:
     # scale-invariant PCG exit (|nu| < tol*|nu0|); the reference's absolute
     # test (ref: PCG.py:102) is kept when False — see ops/btridiag.pcg
     pcg_relative: bool = False
+    # evaluate the whole alpha ladder in ONE batched pass and select the
+    # first acceptable candidate (same accepted alpha / iterate / ls_iter
+    # as the sequential loop — the ladder and acceptance test are
+    # identical, only the schedule changes).  Under vmap the sequential
+    # while_loop runs lockstep at the max trip count over the batch, so
+    # one straggler scenario drags all B through every ladder step as
+    # B separate small-kernel rounds; the parallel form is one round of
+    # K-times-wider kernels.  False = the reference's sequential loop
+    # (ref: TrajoptMPCReference.py:609-744).
+    parallel_line_search: bool = False
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
 
@@ -251,6 +261,26 @@ class SQPSolver:
                       merit_new=merit_new, D=D, ratio=ratio)
 
         dtype = X.dtype
+        if o.parallel_line_search:
+            # the sequential loop tries alpha = 1, f, f^2, ... down to the
+            # first value <= alpha_min (inclusive) — build that exact ladder
+            ladder = [1.0]
+            while ladder[-1] > o.alpha_min:
+                ladder.append(ladder[-1] * o.alpha_factor)
+            alphas = jnp.asarray(ladder, dtype)
+            K = len(ladder)
+            (Xc, Uc, dJ, J_new, c_new, merit_new, D, ratio,
+             ok) = jax.vmap(evaluate)(alphas)
+            # first acceptable candidate, else the last tried (what the
+            # sequential loop ends holding); ls_iter counts the failures
+            # before it, exactly the while_loop's increment pattern
+            idx = jnp.where(jnp.any(ok), jnp.argmax(ok), K - 1)
+            return LS(alpha=alphas[idx], done=jnp.array(True),
+                      accepted=ok[idx], ls_iter=idx,
+                      Xc=Xc[idx], Uc=Uc[idx], dJ=dJ[idx], J_new=J_new[idx],
+                      c_new=c_new[idx], merit_new=merit_new[idx],
+                      D=D[idx], ratio=ratio[idx])
+
         init = LS(alpha=jnp.asarray(1.0, dtype), done=jnp.array(False),
                   accepted=jnp.array(False), ls_iter=jnp.array(0),
                   Xc=X, Uc=U, dJ=jnp.zeros((), dtype), J_new=J, c_new=c,
