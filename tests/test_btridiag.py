@@ -198,3 +198,111 @@ def test_cyclic_reduction_matches_block_thomas_batched():
     xs_th = jax.vmap(btd_block_thomas)(As, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(xs_cr), np.asarray(xs_th),
                                atol=1e-9)
+
+
+# ------------------------------------------- TPU Gauss-Jordan solve paths
+
+def test_gauss_jordan_diag_pivot_matches_lapack():
+    """The unpivoted (diagonal-pivot) Gauss-Jordan used for symmetric
+    definite blocks on TPU matches LAPACK for both positive- and
+    negative-definite batches (the Schur systems are negative definite on
+    live rows; cost Hessian blocks are positive definite)."""
+    from trajoptmpcreference_tpu.ops.btridiag import _gauss_jordan_solve
+
+    rng = np.random.default_rng(11)
+    for sign in (+1.0, -1.0):
+        A = rng.standard_normal((64, 12, 12))
+        A = sign * (A @ A.transpose(0, 2, 1) + 12 * np.eye(12))
+        B = rng.standard_normal((64, 12, 7))
+        X = np.asarray(_gauss_jordan_solve(jnp.asarray(A), jnp.asarray(B),
+                                           diag_pivot=True))
+        np.testing.assert_allclose(X, np.linalg.solve(A, B),
+                                   rtol=1e-8, atol=1e-9)
+
+
+def test_cyclic_reduction_forced_gauss_jordan(monkeypatch):
+    """btd_cyclic_reduction with the TPU Gauss-Jordan path forced on CPU
+    (TMR_FORCE_GJ semantics): the diagonal-pivot inverses inside CR must
+    reproduce the LAPACK-backed solve on a negative-definite Schur-shaped
+    system."""
+    from trajoptmpcreference_tpu.ops import btridiag as bt
+
+    A, b = _random_btd(16, 6, seed=3)
+    A = BlockTridiag(-A.diag, A.upper)   # negative definite live regime
+    x_ref = np.linalg.solve(_dense(A), np.asarray(b).reshape(-1))
+    monkeypatch.setattr(bt, "_FORCE_GJ", True)
+    x = np.asarray(bt.btd_cyclic_reduction(A, b))
+    np.testing.assert_allclose(x.reshape(-1), x_ref, atol=1e-9)
+
+
+def test_inv_psd_split_matches_dense(monkeypatch):
+    """kkt._inv_psd(split_at=nx) on (x,u)-block-diagonal G equals the dense
+    blockwise inverse, under the forced Gauss-Jordan (TPU) path."""
+    from trajoptmpcreference_tpu.ops import btridiag as bt
+    from trajoptmpcreference_tpu.solvers.kkt import _inv_psd
+
+    monkeypatch.setattr(bt, "_FORCE_GJ", True)
+    rng = np.random.default_rng(5)
+    nx, nu, n = 12, 6, 18
+    G = np.zeros((32, n, n))
+    Ax = rng.standard_normal((32, nx, nx))
+    Au = rng.standard_normal((32, nu, nu))
+    G[:, :nx, :nx] = Ax @ Ax.transpose(0, 2, 1) + nx * np.eye(nx)
+    G[:, nx:, nx:] = Au @ Au.transpose(0, 2, 1) + nu * np.eye(nu)
+    got = np.asarray(_inv_psd(jnp.asarray(G), split_at=nx))
+    np.testing.assert_allclose(got, np.linalg.inv(G), rtol=1e-7, atol=1e-9)
+
+
+def test_split_schur_matches_generic():
+    """The structure-exploiting Schur assembly (_schur_blocks_split +
+    _recover_dxu_split, used when m == 0 and the cost is separable) builds
+    the same operator and recovers the same step as the generic path."""
+    import dataclasses
+
+    import jax
+
+    from trajoptmpcreference_tpu import (
+        URDFPlant, UrdfCost, make_sqp, serial_arm,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        plant = URDFPlant(robot=serial_arm(3))
+        nx, nu = plant.nx, plant.nu
+        cost = UrdfCost(plant, jnp.eye(6, dtype=jnp.float64),
+                        100.0 * jnp.eye(6, dtype=jnp.float64),
+                        0.01 * jnp.eye(nu, dtype=jnp.float64),
+                        jnp.asarray([1.5, 1.0, 0, 0, 0, 0], jnp.float64))
+        solver = make_sqp(plant, cost, None, N=12, dt=0.05, method="S")
+        assert solver.kkt._can_split_schur()
+        rng = np.random.default_rng(2)
+        X = jnp.asarray(0.2 * rng.standard_normal((nx, 12)))
+        U = jnp.asarray(0.1 * rng.standard_normal((nu, 11)))
+        xs = X[:, 0]
+        blocks = solver.kkt.form_blocks(X, U, xs, cost.default_params,
+                                        solver.cset.init_state(jnp.float64))
+        rho = jnp.asarray(1e-3, jnp.float64)
+
+        Ss, gams, iGxx, iGuu = solver.kkt._schur_blocks_split(blocks, rho)
+        Sg, gamg, invG, E, F = solver.kkt.schur_blocks(blocks, rho)
+        np.testing.assert_allclose(np.asarray(Ss.diag), np.asarray(Sg.diag),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Ss.upper), np.asarray(Sg.upper),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gams), np.asarray(gamg),
+                                   rtol=1e-8, atol=1e-10)
+
+        lam = jnp.asarray(rng.standard_normal((12, nx)))
+        dxu_s = solver.kkt._recover_dxu_split(iGxx, iGuu, blocks, lam)
+        dxu_g = solver.kkt.recover_dxu(invG, E, F, blocks, lam)
+        np.testing.assert_allclose(np.asarray(dxu_s), np.asarray(dxu_g),
+                                   rtol=1e-10, atol=1e-12)
+
+        # hard constraints (m > 0) must route to the generic path
+        from trajoptmpcreference_tpu import ConstraintSet
+        lim = ConstraintSet(plant.nq, plant.nq, nu, 12).with_torque_limits(
+            7.0, -7.0, "ACTIVE_SET")
+        s2 = make_sqp(plant, cost, lim, N=12, dt=0.05, method="S")
+        assert not s2.kkt._can_split_schur()
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -19,10 +19,15 @@ All functions are single-system; vmap for scenario batches.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+# Force the Gauss-Jordan path on CPU too (tests exercise the TPU codepath
+# without a chip; see tests/test_btridiag_guards.py).
+_FORCE_GJ = os.environ.get("TMR_FORCE_GJ", "0") == "1"
 
 
 def _bmv(A, x):
@@ -85,39 +90,51 @@ def btd_dense(A: BlockTridiag) -> jnp.ndarray:
     return M
 
 
-def _inv_blocks(blocks):
+def _inv_blocks(blocks, spd: bool = False):
     """Batched small-matrix inverse via solve (TPU-safe for f32/f64)."""
     bs = blocks.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(bs, dtype=blocks.dtype), blocks.shape)
-    return _solve_batched(blocks, eye)
+    return _solve_batched(blocks, eye, spd=spd)
 
 
-def _solve_batched(A, B):
+def _solve_batched(A, B, spd: bool = False):
     """Batched linear solve for small blocks.
 
     On TPU, XLA's batched LU (jnp.linalg.solve) is catastrophically slow for
     many small systems (~120 ms for 16k 18x18 solves on v5e) and f64 LU is
     unsupported; explicit Gauss-Jordan elimination lowers to fusible
-    elementwise ops instead.  CPU keeps LAPACK."""
-    if jax.default_backend() == "tpu":
-        return _gauss_jordan_solve(A, B)
+    elementwise ops instead.  CPU keeps LAPACK.
+
+    ``spd=True`` asserts the blocks are symmetric definite (positive OR
+    negative — e.g. regularized cost Hessians, Schur-complement diagonal
+    blocks and their cyclic-reduction / Thomas eliminations, which are
+    symmetric quasi-definite with uniform-sign pivots per row group): the
+    Gauss-Jordan elimination then pivots on the diagonal, dropping the
+    per-step argmax + two take_along_axis gathers + two row-swap selects of
+    partial pivoting — the dominant cost of the batched solve phase on TPU
+    (diagonal elimination of symmetric quasi-definite systems is
+    unconditionally factorizable; Vanderbei 1995)."""
+    if jax.default_backend() == "tpu" or _FORCE_GJ:
+        return _gauss_jordan_solve(A, B, diag_pivot=spd)
     return jnp.linalg.solve(A, B)
 
 
-def _gauss_jordan_solve(A, B):
-    """Vectorized Gauss-Jordan with partial pivoting on the last two dims."""
+def _gauss_jordan_solve(A, B, diag_pivot: bool = False):
+    """Vectorized Gauss-Jordan on the last two dims; partial pivoting by
+    default, diagonal pivoting when the caller asserts definiteness."""
     n = A.shape[-1]
     M = jnp.concatenate([A, B], axis=-1)
+    idx = jnp.arange(n)
 
     def body(i, M):
-        col = jnp.abs(M[..., :, i])
-        idx = jnp.arange(n)
-        col = jnp.where(idx >= i, col, -jnp.inf)
-        p = jnp.argmax(col, axis=-1)
-        rows = jnp.take_along_axis(M, p[..., None, None], axis=-2)
-        Mi = jnp.take_along_axis(M, jnp.full_like(p, i)[..., None, None], axis=-2)
-        M = jnp.where((idx == p[..., None])[..., None], jnp.broadcast_to(Mi, M.shape), M)
-        M = jnp.where((idx == i)[..., None], jnp.broadcast_to(rows, M.shape), M)
+        if not diag_pivot:
+            col = jnp.abs(M[..., :, i])
+            col = jnp.where(idx >= i, col, -jnp.inf)
+            p = jnp.argmax(col, axis=-1)
+            rows = jnp.take_along_axis(M, p[..., None, None], axis=-2)
+            Mi = jnp.take_along_axis(M, jnp.full_like(p, i)[..., None, None], axis=-2)
+            M = jnp.where((idx == p[..., None])[..., None], jnp.broadcast_to(Mi, M.shape), M)
+            M = jnp.where((idx == i)[..., None], jnp.broadcast_to(rows, M.shape), M)
         pivot_row = M[..., i, :] / M[..., i, i][..., None]
         factors = M[..., :, i]
         upd = M - factors[..., None] * pivot_row[..., None, :]
@@ -143,7 +160,7 @@ def preconditioner(A: BlockTridiag, ptype: str) -> BlockTridiag:
         Pd = jax.vmap(jnp.diag)(1.0 / d)
         return BlockTridiag(Pd, zero_off)
     if ptype == "BJ":
-        return BlockTridiag(_inv_blocks(A.diag), zero_off)
+        return BlockTridiag(_inv_blocks(A.diag, spd=True), zero_off)
     if ptype == "SS":
         return _symmetric_stair(A)
     raise ValueError(
@@ -162,7 +179,7 @@ def _symmetric_stair(A: BlockTridiag) -> BlockTridiag:
     exactly reproducing the dense reference pattern.
     """
     N, bs = A.nblocks, A.bs
-    Dinv = _inv_blocks(A.diag)
+    Dinv = _inv_blocks(A.diag, spd=True)
     # Pinv upper block at position k (between blocks k and k+1):
     #   the reference sets, for odd j = k+1:
     #     Pinv[j, j-1] = -Dinv_j A[j, j-1] Dinv_{j-1}
@@ -293,7 +310,7 @@ def btd_cyclic_reduction(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
     n = Np
     while n > 1:
         D_even = D[0::2]                   # (n/2, bs, bs)
-        Dinv_odd = _inv_blocks(D[1::2])    # inv(D[2m+1])
+        Dinv_odd = _inv_blocks(D[1::2], spd=True)    # inv(D[2m+1])
         b_even, b_odd = rhs[0::2], rhs[1::2]
         UR = U[0::2]                       # A[2m, 2m+1]
         Uodd = U[1::2]                     # A[2m+1, 2m+2] (last block zero)
@@ -323,7 +340,7 @@ def btd_cyclic_reduction(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
         D, U, rhs = D_new, U_new, b_new
         n //= 2
 
-    x = _solve_batched(D[0], rhs[0][:, None])[:, 0][None]  # (1, bs)
+    x = _solve_batched(D[0], rhs[0][:, None], spd=True)[:, 0][None]  # (1, bs)
 
     # back substitution: x[2m+1] = inv(D[2m+1]) (b[2m+1]
     #   - U[2m]^T x[2m] - U[2m+1] x[2m+2])
@@ -355,7 +372,8 @@ def btd_block_thomas(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
         Dk, Uk, Lk, bk = inp  # Lk = A.upper[k-1]^T (garbage at k=0, masked)
         Dt = jnp.where(first, Dk, Dk - Lk @ Cprev)
         dt = jnp.where(first, bk, bk - Lk @ dprev)
-        sol = _solve_batched(Dt, jnp.concatenate([Uk, dt[:, None]], axis=1))
+        sol = _solve_batched(Dt, jnp.concatenate([Uk, dt[:, None]], axis=1),
+                             spd=True)
         Ck = sol[:, :bs]
         dk = sol[:, bs]
         return (Ck, dk, jnp.zeros((), bool)), (Ck, dk)

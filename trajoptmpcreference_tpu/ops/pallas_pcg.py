@@ -342,7 +342,7 @@ def make_batched_pcg(N: int, bs: int, precond: str = "SS",
             d = jnp.einsum("kii->ki", S.diag)
             pdiag = jax.vmap(jnp.diag)(1.0 / d)
         else:   # BJ and SS both need the block-diagonal inverse
-            pdiag = _inv_blocks(S.diag)
+            pdiag = _inv_blocks(S.diag, spd=True)
         upper_pad = jnp.concatenate(
             [S.upper, jnp.zeros_like(S.upper[:1])], axis=0)
         # initial residual outside the kernel (see _pcg_kernel VMEM note)

@@ -122,9 +122,9 @@ def sharded_preconditioner(A: ShardedBTD, ptype: str, ax: str) -> ShardedBTD:
         d = jnp.einsum("kii->ki", A.diag)
         return ShardedBTD(jax.vmap(jnp.diag)(1.0 / d), zero_u, zero_p)
     if ptype == "BJ":
-        return ShardedBTD(_inv_blocks(A.diag), zero_u, zero_p)
+        return ShardedBTD(_inv_blocks(A.diag, spd=True), zero_u, zero_p)
     if ptype == "SS":
-        Dinv = _inv_blocks(A.diag)
+        Dinv = _inv_blocks(A.diag, spd=True)
         # need Dinv of the right neighbor's first row and the left
         # neighbor's last row for the boundary off-diagonal blocks
         Dinv_left, Dinv_right = _halo_exchange(Dinv, ax)
@@ -175,7 +175,7 @@ def sharded_schur_solve(E, F, rhs, D, G, g, guess, ax: str, *,
     Gl, gl, El, Fl, rhsl, Dl, guessl = map(
         loc, (G, g, E, F, rhs, D, guess))
 
-    invGl = _inv_blocks(Gl)
+    invGl = _inv_blocks(Gl, spd=True)
     # neighbor halos: left neighbor's last (invG, g) row; right neighbor's
     # first E row (zeros at the global boundaries)
     invG_left, _ = _halo_exchange(invGl, ax)

@@ -40,6 +40,11 @@ class Cost:
     # instead of none.  None => callers fall back to value subtraction.
     stage_value_diff: Optional[Callable] = None  # (p, x, u, xc, uc, k) -> scalar
     term_value_diff: Optional[Callable] = None   # (p, x, xc, k) -> scalar
+    # True when stage_hessian can have nonzero (x, u) cross blocks.  Every
+    # cost in the zoo is separable in x and u (state-only task terms +
+    # u'Ru) except NumericalCost's outer(g, g); the KKT Schur assembly
+    # exploits xu_coupled=False to invert G blockwise (kkt._inv_psd).
+    xu_coupled: bool = False
 
 
 class QuadraticCostParams(NamedTuple):
@@ -279,7 +284,8 @@ def NumericalCost(plant: Plant, Q, QF, R, xg, eps: float = 1e-5,
         return jnp.outer(g, g)
 
     return Cost(nx, nu, base.stage_value, base.term_value, stage_gradient,
-                term_gradient, stage_hessian, term_hessian, base.default_params)
+                term_gradient, stage_hessian, term_hessian, base.default_params,
+                xu_coupled=True)
 
 
 def ArmCost(Q, QF, R, xg, l1: float = 1.0, l2: float = 1.0,

@@ -206,6 +206,16 @@ class KKTSystem:
         G = blocks.H + rho * jnp.eye(n, dtype=dtype)[None]
         return G.at[-1, nx:, nx:].set(jnp.eye(self.nu, dtype=dtype))
 
+    def _g_split(self) -> Optional[int]:
+        """nx when G is statically (x, u)-block-diagonal (separable cost
+        Hessian, no soft-constraint outer(gc, gc) term mixing x/u rows),
+        else None for the dense-block inverse."""
+        if getattr(self.cost, "xu_coupled", False):
+            return None
+        if self.cset.has_soft():
+            return None
+        return self.nx
+
     # ----------------------------------------------------------- dense KKT
     def solve_dense(self, blocks: KKTBlocks, rho) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Assemble and solve the full dense KKT system
@@ -250,7 +260,7 @@ class KKTSystem:
         N, n = self.N, self.n
         E, F, rhs, D = self._EF(blocks)
         G = self._regularized_G(blocks, rho)
-        invG = _inv_psd(G)
+        invG = _inv_psd(G, split_at=self._g_split())
         ET = jnp.swapaxes(E, -1, -2)
         FT = jnp.swapaxes(F, -1, -2)
         # S_kk = D_k - E_k invG_{k-1} E_k^T - F_k invG_k F_k^T
@@ -278,6 +288,67 @@ class KKTSystem:
         rhs = rhs.at[:-1].add(-jnp.sum(E[1:] * lam[1:, :, None], axis=-2))
         return _bmv(invG, rhs)
 
+    # ------------------------------------- structure-exploiting Schur path
+    def _can_split_schur(self) -> bool:
+        """The assembly collapses when there are no hard-constraint rows
+        (row group k = the nx defect rows only, F_k = [I 0], E_k =
+        [-A_{k-1} -B_{k-1}]) and G is (x, u)-block-diagonal."""
+        return self.m == 0 and self._g_split() is not None
+
+    def _schur_blocks_split(self, blocks: KKTBlocks, rho):
+        """schur_blocks specialized to _can_split_schur():
+
+          S_kk    = -iGxx_k - A_{k-1} iGxx_{k-1} A^T - B_{k-1} iGuu_{k-1} B^T
+          S_k,k+1 =  iGxx_k A_k^T
+          gam_k   = rhs_k - iGxx_k gx_k
+                    + A_{k-1} iGxx_{k-1} gx_{k-1} + B_{k-1} iGuu_{k-1} gu_{k-1}
+
+        — every (nx+nu)-dim product in the generic path shrinks to nx/nu
+        blocks and the padded 18x18 invG is never materialized.  Same
+        operator as schur_blocks to rounding (equality test:
+        tests/test_btridiag.py::test_split_schur_matches_generic)."""
+        nx, nu = self.nx, self.nu
+        dtype = blocks.H.dtype
+        eye_x = jnp.eye(nx, dtype=dtype)
+        eye_u = jnp.eye(nu, dtype=dtype)
+        Hxx = blocks.H[:, :nx, :nx] + rho * eye_x[None]
+        Huu = blocks.H[:, nx:, nx:] + rho * eye_u[None]
+        Huu = Huu.at[-1].set(eye_u)      # phantom terminal controls
+        iGxx = _solve_batched(Hxx, jnp.broadcast_to(eye_x, Hxx.shape),
+                              spd=True)
+        iGuu = _solve_batched(Huu, jnp.broadcast_to(eye_u, Huu.shape),
+                              spd=True)
+        iGxx = 0.5 * (iGxx + jnp.swapaxes(iGxx, -1, -2))
+        iGuu = 0.5 * (iGuu + jnp.swapaxes(iGuu, -1, -2))
+
+        A, B = blocks.A, blocks.B        # (N-1, nx, nx/nu)
+        AT = jnp.swapaxes(A, -1, -2)
+        BT = jnp.swapaxes(B, -1, -2)
+        iGA = _bmm(iGxx[:-1], AT)        # iGxx_k A_k^T  (N-1, nx, nx)
+        iGB = _bmm(iGuu[:-1], BT)        # iGuu_k B_k^T  (N-1, nu, nx)
+        Sd = -iGxx
+        Sd = Sd.at[1:].add(-_bmm(A, iGA) - _bmm(B, iGB))
+        Sd = 0.5 * (Sd + jnp.swapaxes(Sd, -1, -2))   # see schur_blocks note
+        So = iGA
+
+        gx, gu = blocks.g[:, :nx], blocks.g[:, nx:]
+        rhs = blocks.defect
+        gam = rhs - _bmv(iGxx, gx)
+        gam = gam.at[1:].add(_bmv(A, _bmv(iGxx[:-1], gx[:-1]))
+                             + _bmv(B, _bmv(iGuu[:-1], gu[:-1])))
+        return BlockTridiag(Sd, So), gam, iGxx, iGuu
+
+    def _recover_dxu_split(self, iGxx, iGuu, blocks: KKTBlocks, lam):
+        """recover_dxu for the split path:
+        dxu_x = iGxx (gx - lam_k + A_k^T lam_{k+1}),
+        dxu_u = iGuu (gu + B_k^T lam_{k+1})."""
+        nx = self.nx
+        gx, gu = blocks.g[:, :nx], blocks.g[:, nx:]
+        rx = gx - lam
+        rx = rx.at[:-1].add(_bmv(jnp.swapaxes(blocks.A, -1, -2), lam[1:]))
+        ru = gu.at[:-1].add(_bmv(jnp.swapaxes(blocks.B, -1, -2), lam[1:]))
+        return jnp.concatenate([_bmv(iGxx, rx), _bmv(iGuu, ru)], axis=-1)
+
     def solve_schur(self, blocks: KKTBlocks, rho,
                     use_pcg: bool = False,
                     pcg_tol: float = 1e-6,
@@ -287,7 +358,11 @@ class KKTSystem:
                     pcg_relative: bool = False):
         """Schur-complement solve, exact (block-Thomas) or PCG
         (ref: TrajoptMPCReference.py:361-455)."""
-        S, gam, invG, E, F = self.schur_blocks(blocks, rho)
+        split = self._can_split_schur()
+        if split:
+            S, gam, iGxx, iGuu = self._schur_blocks_split(blocks, rho)
+        else:
+            S, gam, invG, E, F = self.schur_blocks(blocks, rho)
         if use_pcg:
             if self.use_pallas_pcg:
                 solve = _pallas_pcg_solver(self.N, self.bs, precond,
@@ -309,7 +384,10 @@ class KKTSystem:
             else:
                 lam = btd_block_thomas(S, gam)
             stats = SchurSolveStats(jnp.array(0), jnp.array(True))
-        dxu = self.recover_dxu(invG, E, F, blocks, lam)
+        if split:
+            dxu = self._recover_dxu_split(iGxx, iGuu, blocks, lam)
+        else:
+            dxu = self.recover_dxu(invG, E, F, blocks, lam)
         return dxu, lam, stats
 
     def solve_schur_sharded(self, blocks: KKTBlocks, rho, mesh, axis: str,
@@ -364,7 +442,26 @@ def _lstsq(A, b):
     return jnp.linalg.solve(AtA, A.T @ b)
 
 
-def _inv_psd(G):
-    """Batched inverse of small (regularized) blocks."""
-    eye = jnp.broadcast_to(jnp.eye(G.shape[-1], dtype=G.dtype), G.shape)
-    return _solve_batched(G, eye)
+def _inv_psd(G, split_at: Optional[int] = None):
+    """Batched inverse of small (regularized) SPD blocks.
+
+    ``split_at=nx`` asserts the blocks are block-diagonal across the
+    (state, control) partition — true for every cost here except
+    NumericalCost's outer(g,g) Hessian, and broken only by soft-constraint
+    Gauss-Newton terms that mix x and u rows (callers gate on both) — and
+    inverts the nx- and nu-sized sub-blocks separately: ~2.6x less
+    Gauss-Jordan work than the full (nx+nu)-dim elimination."""
+    n = G.shape[-1]
+    if split_at is None or split_at >= n:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
+        return _solve_batched(G, eye, spd=True)
+    nx = split_at
+    Gxx = G[..., :nx, :nx]
+    Guu = G[..., nx:, nx:]
+    eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=G.dtype), Gxx.shape)
+    eye_u = jnp.broadcast_to(jnp.eye(n - nx, dtype=G.dtype), Guu.shape)
+    iGxx = _solve_batched(Gxx, eye_x, spd=True)
+    iGuu = _solve_batched(Guu, eye_u, spd=True)
+    out = jnp.zeros_like(G)
+    out = out.at[..., :nx, :nx].set(iGxx)
+    return out.at[..., nx:, nx:].set(iGuu)
