@@ -75,6 +75,12 @@ def main():
         knobs["method"] = os.environ["BENCH_METHOD"]
     if "BENCH_EXACT_SCHUR" in os.environ:    # cr / thomas (method S)
         knobs["exact_schur"] = os.environ["BENCH_EXACT_SCHUR"]
+    if "BENCH_ALPHA_MIN" in os.environ:      # line-search ladder depth
+        knobs["alpha_min"] = float(os.environ["BENCH_ALPHA_MIN"])
+    if "BENCH_LS_GRAD_BASE" in os.environ:   # 1 = Armijo D at base point
+        knobs["ls_grad_at_base"] = os.environ["BENCH_LS_GRAD_BASE"] == "1"
+    if "BENCH_RTI_ALPHA" in os.environ:      # >0 = RTI fixed-step mode
+        knobs["ls_fixed_alpha"] = float(os.environ["BENCH_RTI_ALPHA"])
     if "BENCH_PARALLEL_LS" in os.environ:    # 1 = one-pass alpha ladder
         knobs["parallel_ls"] = os.environ["BENCH_PARALLEL_LS"] == "1"
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,

@@ -265,6 +265,10 @@ def test_split_schur_matches_generic():
         URDFPlant, UrdfCost, make_sqp, serial_arm,
     )
 
+    # conftest already enables x64 globally; restore whatever was set
+    # rather than hardcoding False (which silently demoted every later
+    # test in the suite to f32 — an order-dependent flake)
+    x64_prior = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         plant = URDFPlant(robot=serial_arm(3))
@@ -305,4 +309,4 @@ def test_split_schur_matches_generic():
         s2 = make_sqp(plant, cost, lim, N=12, dt=0.05, method="S")
         assert not s2.kkt._can_split_schur()
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", x64_prior)

@@ -82,6 +82,21 @@ class SQPOptions:
     # K-times-wider kernels.  False = the reference's sequential loop
     # (ref: TrajoptMPCReference.py:609-744).
     parallel_line_search: bool = False
+    # directional-derivative point for the acceptance test.  False =
+    # reference parity: the cost gradient is re-evaluated at every
+    # candidate trajectory (ref: TrajoptMPCReference.py:633-646), a full
+    # gradient sweep (EE Jacobians for task-space costs) per ladder
+    # trial.  True = standard Armijo: D = g(X, U) . dxu with the KKT
+    # gradient already in hand from form_blocks — computed once per
+    # iterate, free, and alpha-independent.
+    ls_grad_at_base: bool = False
+    # real-time-iteration mode (Diehl's RTI scheme for warm-started MPC):
+    # when > 0, accept alpha = ls_fixed_alpha unconditionally — no alpha
+    # ladder, no merit acceptance test, no directional derivative.  Pairs
+    # with a small fixed max_iter and per-step warm starts; the safety the
+    # merit test provides must come from the MPC loop instead (each step
+    # re-solves from the measured state).  0.0 = off.
+    ls_fixed_alpha: float = 0.0
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
 
@@ -176,6 +191,9 @@ class SQPSolver:
     # ------------------------------------------------------------ QP solve
     def solve_qp(self, X, U, xs, cost_params, cstate, rho, guess):
         blocks = self.kkt.form_blocks(X, U, xs, cost_params, cstate)
+        return self.solve_qp_from_blocks(blocks, rho, guess)
+
+    def solve_qp_from_blocks(self, blocks, rho, guess):
         if self.method == "N":
             dxu, lam, singular = self.kkt.solve_dense(blocks, rho)
             return dxu, lam, jnp.array(0), singular
@@ -209,8 +227,11 @@ class SQPSolver:
         return jnp.where(c0 != 0, J0 / jnp.maximum(c0, 1e-12), 10.0)
 
     def line_search(self, X, U, dxu, J, c, merit, xs, cost_params, cstate,
-                    mu=None):
-        """(ref: TrajoptMPCReference.py:606-744)."""
+                    mu=None, D_base=None):
+        """(ref: TrajoptMPCReference.py:606-744).  ``D_base``: when
+        options.ls_grad_at_base is set, the alpha-independent directional
+        derivative g(X, U) . dxu computed once by the caller (sqp_iterate
+        reuses the KKT gradient blocks)."""
         o = self.options
         nx, nu = self.plant.nx, self.plant.nu
         if mu is None:
@@ -225,7 +246,11 @@ class SQPSolver:
             # acceptance test compares differences, never two large totals
             dJ = self.total_cost_diff(X, U, Xc, Uc, cost_params, cstate)
             c_new = self.total_violation(Xc, Uc, xs)
-            D = self.directional_derivative(Xc, Uc, dxu, cost_params, cstate)
+            if D_base is not None:
+                D = D_base
+            else:
+                D = self.directional_derivative(Xc, Uc, dxu, cost_params,
+                                                cstate)
             delta_merit = -dJ + mu * (c - c_new)
             J_new = J + dJ
             merit_new = merit - delta_merit
@@ -261,6 +286,22 @@ class SQPSolver:
                       merit_new=merit_new, D=D, ratio=ratio)
 
         dtype = X.dtype
+        if o.ls_fixed_alpha > 0:
+            # real-time iteration: one unconditional step, no acceptance
+            # test — dJ / c_new still computed (carried state + exit test);
+            # the directional derivative is skipped unless already in hand
+            alpha = jnp.asarray(o.ls_fixed_alpha, dtype)
+            Xc = X - alpha * dX
+            Uc = U - alpha * dU
+            dJ = self.total_cost_diff(X, U, Xc, Uc, cost_params, cstate)
+            c_new = self.total_violation(Xc, Uc, xs)
+            D = D_base if D_base is not None else jnp.zeros((), dtype)
+            delta_merit = -dJ + mu * (c - c_new)
+            return LS(alpha=alpha, done=jnp.array(True),
+                      accepted=jnp.array(True), ls_iter=jnp.array(0),
+                      Xc=Xc, Uc=Uc, dJ=dJ, J_new=J + dJ, c_new=c_new,
+                      merit_new=merit - delta_merit, D=D,
+                      ratio=jnp.ones((), dtype))
         if o.parallel_line_search:
             # the sequential loop tries alpha = 1, f, f^2, ... down to the
             # first value <= alpha_min (inclusive) — build that exact ladder
@@ -297,10 +338,15 @@ class SQPSolver:
         by sqp_round and utils.trace.solve_traced, so the trace cannot drift
         from the solver it traces."""
         o = self.options
-        dxu, lam, pcg_iters, singular = self.solve_qp(
-            X, U, xs, cost_params, cstate, rho, guess)
+        blocks = self.kkt.form_blocks(X, U, xs, cost_params, cstate)
+        dxu, lam, pcg_iters, singular = self.solve_qp_from_blocks(
+            blocks, rho, guess)
+        # with ls_grad_at_base the acceptance test's directional derivative
+        # is the KKT gradient (already formed) dotted with the step — once,
+        # alpha-independent, instead of a gradient sweep per ladder trial
+        D_base = jnp.sum(blocks.g * dxu) if o.ls_grad_at_base else None
         ls = self.line_search(X, U, dxu, J, c, merit,
-                              xs, cost_params, cstate, mu=mu)
+                              xs, cost_params, cstate, mu=mu, D_base=D_base)
         accepted = ls.accepted
         error = ~accepted
         X1 = jnp.where(accepted, ls.Xc, X)
@@ -319,7 +365,13 @@ class SQPSolver:
         # line-search difference, not a subtraction of carried totals
         delta_J = -ls.dJ
         exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
-        tol_hit = ~error & (delta_J < o.exit_tolerance)
+        if o.ls_fixed_alpha > 0:
+            # RTI accepts unconditionally, so an early iteration can
+            # INCREASE the cost (delta_J < 0) — that is progress toward
+            # feasibility, not convergence; only a small |delta_J| is
+            tol_hit = jnp.abs(delta_J) < o.exit_tolerance
+        else:
+            tol_hit = ~error & (delta_J < o.exit_tolerance)
         if (self.cset.has_hard()
                 and math.isfinite(o.hard_violation_exit_tol)):
             hv = C.max_hard_violation(self.cset, X1, U1)
