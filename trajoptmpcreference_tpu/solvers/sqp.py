@@ -275,16 +275,6 @@ class SQPSolver:
             D: jnp.ndarray
             ratio: jnp.ndarray
 
-        def body(s: LS) -> LS:
-            Xc, Uc, dJ, J_new, c_new, merit_new, D, ratio, ok = evaluate(s.alpha)
-            can_retry = s.alpha > o.alpha_min
-            done = ok | ~can_retry
-            next_alpha = jnp.where(ok | ~can_retry, s.alpha, s.alpha * o.alpha_factor)
-            return LS(alpha=next_alpha, done=done, accepted=ok,
-                      ls_iter=s.ls_iter + jnp.where(done, 0, 1),
-                      Xc=Xc, Uc=Uc, dJ=dJ, J_new=J_new, c_new=c_new,
-                      merit_new=merit_new, D=D, ratio=ratio)
-
         dtype = X.dtype
         if o.ls_fixed_alpha > 0:
             # real-time iteration: one unconditional step, no acceptance
@@ -322,13 +312,48 @@ class SQPSolver:
                       c_new=c_new[idx], merit_new=merit_new[idx],
                       D=D[idx], ratio=ratio[idx])
 
-        init = LS(alpha=jnp.asarray(1.0, dtype), done=jnp.array(False),
-                  accepted=jnp.array(False), ls_iter=jnp.array(0),
-                  Xc=X, Uc=U, dJ=jnp.zeros((), dtype), J_new=J, c_new=c,
-                  merit_new=merit, D=jnp.zeros((), dtype),
-                  ratio=jnp.zeros((), dtype))
+        # Sequential ladder, restructured for the lockstep-vmap regime:
+        # the loop carries only scalars — the candidate trajectories are
+        # recomputed from the final alpha with one axpy after the loop,
+        # instead of being written to HBM as loop carry every trip.  The
+        # ladder, acceptance test, and returned state are identical to the
+        # reference's loop.  (An alpha = 1 trial hoisted outside the loop
+        # was also tried; it trips an XLA:TPU memory-space-assignment
+        # CHECK failure — see analysis/bench_history_r2.md.)
+        class LSS(NamedTuple):
+            alpha: jnp.ndarray
+            done: jnp.ndarray
+            accepted: jnp.ndarray
+            ls_iter: jnp.ndarray
+            dJ: jnp.ndarray
+            J_new: jnp.ndarray
+            c_new: jnp.ndarray
+            merit_new: jnp.ndarray
+            D: jnp.ndarray
+            ratio: jnp.ndarray
+
+        def body(s: LSS) -> LSS:
+            _, _, dJ, J_new, c_new, merit_new, D, ratio, ok = evaluate(s.alpha)
+            can_retry = s.alpha > o.alpha_min
+            done = ok | ~can_retry
+            next_alpha = jnp.where(done, s.alpha, s.alpha * o.alpha_factor)
+            return LSS(alpha=next_alpha, done=done, accepted=ok,
+                       ls_iter=s.ls_iter + jnp.where(done, 0, 1),
+                       dJ=dJ, J_new=J_new, c_new=c_new,
+                       merit_new=merit_new, D=D, ratio=ratio)
+
+        zero = jnp.zeros((), dtype)
+        init = LSS(alpha=jnp.asarray(1.0, dtype), done=jnp.array(False),
+                   accepted=jnp.array(False), ls_iter=jnp.array(0),
+                   dJ=zero, J_new=J, c_new=c, merit_new=merit,
+                   D=zero, ratio=zero)
         out = jax.lax.while_loop(lambda s: ~s.done, body, init)
-        return out
+        Xc = X - out.alpha * dX
+        Uc = U - out.alpha * dU
+        return LS(alpha=out.alpha, done=out.done, accepted=out.accepted,
+                  ls_iter=out.ls_iter, Xc=Xc, Uc=Uc, dJ=out.dJ,
+                  J_new=out.J_new, c_new=out.c_new,
+                  merit_new=out.merit_new, D=out.D, ratio=out.ratio)
 
     # --------------------------------------------------- one SQP iteration
     def sqp_iterate(self, X, U, J, c, merit, rho, drho, guess, mu, xs,
