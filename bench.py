@@ -83,6 +83,8 @@ def main():
         knobs["ls_fixed_alpha"] = float(os.environ["BENCH_RTI_ALPHA"])
     if "BENCH_PARALLEL_LS" in os.environ:    # 1 = one-pass alpha ladder
         knobs["parallel_ls"] = os.environ["BENCH_PARALLEL_LS"] == "1"
+    if "BENCH_PALLAS_FD" in os.environ:      # 1 = fused fd in LS rollout
+        knobs["use_pallas_fd"] = os.environ["BENCH_PALLAS_FD"] == "1"
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
                                       use_pallas_pcg=use_pallas_pcg,
                                       **knobs)

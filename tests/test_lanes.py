@@ -88,3 +88,20 @@ def test_pallas_fd_grad_interpret():
                                 interpret=True)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 1e-4
+
+
+def test_pallas_fd_interpret():
+    """The fused Pallas forward-only fd kernel (interpreter mode on CPU;
+    the compiled path is A/B'd on real TPU) matches the XLA lanes path to
+    f32 roundoff."""
+    robot = serial_arm(6)
+    rng = np.random.default_rng(12)
+    L = 256
+    q = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
+    qd = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
+    u = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
+    ref = lanes.fd_lanes(robot, q, qd, u)
+    out = lanes._pallas_fd(robot, -9.81, q, qd, u, block_l=128,
+                           interpret=True)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4

@@ -77,7 +77,8 @@ def URDFPlant(path: Optional[str] = None,
               gravity: float = -9.81,
               options: Optional[dict] = None,
               use_lanes: bool = True,
-              use_pallas: bool = False) -> Plant:
+              use_pallas: bool = False,
+              use_pallas_fd: bool = False) -> Plant:
     """URDF rigid-body plant: qdd = Minv(q) (u - c(q, qd))
     (ref: TrajoptPlant.py:274-332).
 
@@ -98,7 +99,8 @@ def URDFPlant(path: Optional[str] = None,
     if use_lanes:
         from trajoptmpcreference_tpu.ops.lanes import make_rbd_lanes
         fd_fn, fd_grad_fn = make_rbd_lanes(robot, gravity,
-                                           use_pallas=use_pallas)
+                                           use_pallas=use_pallas,
+                                           use_pallas_fd=use_pallas_fd)
     else:
         fd_fn = lambda q, qd, u: rbd.fd(q, qd, u, gravity)
         fd_grad_fn = lambda q, qd, u: rbd.fd_grad(q, qd, u, gravity)

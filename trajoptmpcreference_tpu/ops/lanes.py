@@ -481,14 +481,53 @@ def _pallas_fd_grad(robot: RobotModel, gravity: float, q, qd, u,
     )(q, qd, u, *C)
 
 
+def _pallas_fd(robot: RobotModel, gravity: float, q, qd, u,
+               block_l: int = 128, interpret: bool = False):
+    """fd_lanes as ONE Pallas kernel per lane tile (the forward-only
+    sibling of _pallas_fd_grad): RNEA + Minv + the qdd contraction stay in
+    VMEM.  Shapes (n, L) -> (n, L).  Used by the line-search violation
+    rollout, which calls fd (not fd_grad) once per knot per ladder trial.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = robot.n
+    L = q.shape[1]
+    C = lane_consts(robot, q.dtype)
+
+    def kernel(q_ref, qd_ref, u_ref, *refs):
+        const_refs = refs[:-1]
+        out_ref = refs[-1]
+        Ck = LaneConsts(*(r[:] for r in const_refs))
+        out_ref[:] = fd_lanes(robot, q_ref[:], qd_ref[:], u_ref[:],
+                              gravity, consts=Ck)
+
+    in_spec = pl.BlockSpec((n, block_l), lambda g: (0, g),
+                           memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, (lambda nd: lambda g: (0,) * nd)(c.ndim),
+                                memory_space=pltpu.VMEM)
+                   for c in C]
+    out_spec = pl.BlockSpec((n, block_l), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(L // block_l,),
+        in_specs=[in_spec, in_spec, in_spec] + const_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, L), q.dtype),
+        interpret=interpret,
+    )(q, qd, u, *C)
+
+
 def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, use_pallas_fd: bool = False):
     """Lane-folding fd / fd_grad with per-sample signatures.
 
     Returns (fd1, fd_grad1): fd1(q (n,), qd, u) -> (n,);
     fd_grad1 -> (n, 3n).  Any level of vmap folds into the lane axis.
     use_pallas: route fd_grad through the fused Pallas kernel when the
     folded lane count divides by 128 on TPU (XLA lanes path otherwise).
+    use_pallas_fd: same routing for the forward-only fd.
     """
 
     def _bc(a, batched, B):
@@ -498,6 +537,12 @@ def make_rbd_lanes(robot: RobotModel, gravity: float = -9.81,
 
     @custom_vmap
     def fd_L(q, qd, u):
+        if (use_pallas_fd and jax.default_backend() == "tpu"
+                and q.shape[1] % 128 == 0):
+            try:
+                return _pallas_fd(robot, gravity, q, qd, u)
+            except ValueError:
+                pass              # captured-constant limitation; fall back
         return fd_lanes(robot, q, qd, u, gravity)
 
     @fd_L.def_vmap
