@@ -108,3 +108,45 @@ def test_long_horizon_stability_f64():
     ee = plant.kinematics.ee_pos_xyz(res.X_applied[:6, -1])[:2]
     err = float(jnp.linalg.norm(ee - goal[:2]))
     assert err < 0.5, err
+
+
+def test_run_scheduled_identity():
+    """Chaining two phases with the SAME controller is bit-identical to one
+    run — the carry handoff (plan, cstate, multipliers) is lossless."""
+    from trajoptmpcreference_tpu import run_scheduled
+
+    cset = ConstraintSet(1, 1, 1, 20).with_torque_limits(
+        7.0, -7.0, "AUGMENTED_LAGRANGIAN")
+    ctrl = _pendulum_ctrl("QP-S", cset)
+    one = jax.jit(lambda x: ctrl.run(x, steps=30))(jnp.zeros(2))
+    two = jax.jit(lambda x: run_scheduled(
+        [(ctrl, 12), (ctrl, 18)], x))(jnp.zeros(2))
+    np.testing.assert_array_equal(np.asarray(one.X_applied),
+                                  np.asarray(two.X_applied))
+    np.testing.assert_array_equal(np.asarray(one.U_applied),
+                                  np.asarray(two.U_applied))
+    np.testing.assert_array_equal(np.asarray(one.iters),
+                                  np.asarray(two.iters))
+    np.testing.assert_array_equal(np.asarray(one.lam_last),
+                                  np.asarray(two.lam_last))
+
+
+def test_run_scheduled_budget_drop():
+    """Cold phase at the full budget + steady-state phase at 1 SQP iter/step
+    still stabilizes the pendulum: after the transient the warm start does
+    the work (the iteration-scheduling premise)."""
+    from trajoptmpcreference_tpu import SQPOptions, run_scheduled
+    from trajoptmpcreference_tpu.solvers.mpc import make_mpc as _mk
+
+    plant = PendulumPlant()
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    cold = make_mpc(plant, cost, None, 20, 0.1, method="QP-S")
+    warm = _mk(plant, cost, None, 20, 0.1, method="QP-S",
+               options=SQPOptions(max_iter=1,
+                                  expected_reduction_min=-100.0))
+    res = jax.jit(lambda x: run_scheduled(
+        [(cold, 15), (warm, 35)], x))(jnp.zeros(2))
+    assert abs(float(res.X_applied[0, -1]) - np.pi) < 0.02
+    assert abs(float(res.X_applied[1, -1])) < 0.02
+    assert int(np.max(np.asarray(res.iters)[15:])) <= 1

@@ -41,7 +41,12 @@ from trajoptmpcreference_tpu.solvers.sqp import (
 )
 from trajoptmpcreference_tpu.solvers.ilqr import ILQRResult, ILQRSolver, make_ilqr
 from trajoptmpcreference_tpu.solvers.methods import MPCSolverMethods, SQPSolverMethods
-from trajoptmpcreference_tpu.solvers.mpc import MPCController, MPCResult, make_mpc
+from trajoptmpcreference_tpu.solvers.mpc import (
+    MPCController,
+    MPCResult,
+    make_mpc,
+    run_scheduled,
+)
 
 __all__ = [
     "RobotModel",
@@ -70,4 +75,5 @@ __all__ = [
     "MPCController",
     "MPCResult",
     "make_mpc",
+    "run_scheduled",
 ]

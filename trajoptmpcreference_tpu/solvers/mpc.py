@@ -48,6 +48,8 @@ class MPCResult(NamedTuple):
     exit_codes: jnp.ndarray   # (steps,) per-solve exit code
     X_plan_last: jnp.ndarray  # (nx, N) final plan (warm-start state)
     U_plan_last: jnp.ndarray  # (nu, N-1)
+    cstate_last: Any          # final soft-constraint hyperparameters
+    lam_last: jnp.ndarray     # (N, bs) final shifted multipliers
 
 
 def _shift_plan(X, U, shift: int):
@@ -79,11 +81,17 @@ class MPCController:
     def run(self, x0: jnp.ndarray, steps: int,
             X_init: Optional[jnp.ndarray] = None,
             U_init: Optional[jnp.ndarray] = None,
-            cost_params: Any = None) -> MPCResult:
+            cost_params: Any = None,
+            cstate_init: Any = None,
+            lam_init: Optional[jnp.ndarray] = None) -> MPCResult:
         """Simulate ``steps`` control steps of closed-loop MPC from state x0.
 
         Each step: solve the horizon problem warm-started from the shifted
         previous plan, apply the first control to ``sim_plant``, advance.
+
+        ``cstate_init`` / ``lam_init`` seed the soft-constraint state and the
+        KKT-multiplier warm start — the chaining hooks ``run_scheduled`` uses
+        to hand one phase's final carry to the next.
         """
         solver = self.solver
         N = solver.N
@@ -97,9 +105,13 @@ class MPCController:
         X0 = (jnp.tile(x0[:, None], (1, N)) if X_init is None else X_init)
         U0 = (jnp.zeros((nu, N - 1), dtype=dtype) if U_init is None
               else U_init)
-        cstate0 = solver.cset.init_state(dtype=dtype)
-        lam0 = (jnp.zeros((N, solver.kkt.bs), dtype=dtype) if is_sqp
-                else jnp.zeros((0,), dtype=dtype))
+        cstate0 = (solver.cset.init_state(dtype=dtype)
+                   if cstate_init is None else cstate_init)
+        if lam_init is not None:
+            lam0 = lam_init
+        else:
+            lam0 = (jnp.zeros((N, solver.kkt.bs), dtype=dtype) if is_sqp
+                    else jnp.zeros((0,), dtype=dtype))
 
         def step(carry, _):
             x, Xp, Up, cstate, lam = carry
@@ -133,12 +145,59 @@ class MPCController:
             return ((x1, Xs, Us, cstate1, lam_s),
                     (x1, u0, res.J, it, code))
 
-        (xf, Xp, Up, _, _), (Xs, Us, Js, its, codes) = jax.lax.scan(
+        (xf, Xp, Up, cstate_f, lam_f), (Xs, Us, Js, its, codes) = jax.lax.scan(
             step, (x0, X0, U0, cstate0, lam0), None, length=steps)
         X_applied = jnp.concatenate([x0[:, None], Xs.T], axis=1)
         return MPCResult(X_applied=X_applied, U_applied=Us.T, J_solve=Js,
                          iters=its, exit_codes=codes,
-                         X_plan_last=Xp, U_plan_last=Up)
+                         X_plan_last=Xp, U_plan_last=Up,
+                         cstate_last=cstate_f, lam_last=lam_f)
+
+
+def run_scheduled(phases, x0: jnp.ndarray, cost_params: Any = None
+                  ) -> MPCResult:
+    """Chain MPC phases with different solver budgets over one episode.
+
+    ``phases`` is a sequence of ``(controller, steps)`` pairs over the SAME
+    problem (plant / cost / N / dt); each phase starts from the previous
+    phase's closed-loop state and inherits its full warm-start carry (plan,
+    soft-constraint hyperparameters, KKT multipliers), so the chained
+    episode is semantically one receding-horizon loop whose per-step solver
+    budget changes on a static schedule.
+
+    This is the standard MPC iteration-scheduling trick (the limit case is
+    Diehl's RTI): spend full SQP iterations only while the plan is cold —
+    the first few steps after a setpoint change — then drop to a cheaper
+    steady-state budget once the warm start is doing the work.  A uniform
+    low budget fails the cold start (measured: 2 SQP iters/step from a 5 m
+    goal error diverges, analysis/bench_history_r2.md finding 7) while a
+    uniform high budget wastes iterations in steady state; the schedule is
+    jit-friendly because each phase is its own ``lax.scan``.
+
+    Returns one MPCResult whose per-step arrays are the concatenation of
+    the phases (X_applied keeps a single shared initial state column).
+    """
+    res = None
+    parts = []
+    x = x0
+    for ctrl, steps in phases:
+        kw = {}
+        if res is not None:
+            kw = dict(X_init=res.X_plan_last, U_init=res.U_plan_last,
+                      cstate_init=res.cstate_last, lam_init=res.lam_last)
+        res = ctrl.run(x, steps=steps, cost_params=cost_params, **kw)
+        parts.append(res)
+        x = res.X_applied[:, -1]
+    return MPCResult(
+        X_applied=jnp.concatenate(
+            [parts[0].X_applied] + [p.X_applied[:, 1:] for p in parts[1:]],
+            axis=1),
+        U_applied=jnp.concatenate([p.U_applied for p in parts], axis=1),
+        J_solve=jnp.concatenate([p.J_solve for p in parts]),
+        iters=jnp.concatenate([p.iters for p in parts]),
+        exit_codes=jnp.concatenate([p.exit_codes for p in parts]),
+        X_plan_last=res.X_plan_last, U_plan_last=res.U_plan_last,
+        cstate_last=res.cstate_last, lam_last=res.lam_last)
 
 
 def make_mpc(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],

@@ -300,15 +300,20 @@ class SQPSolver:
                 ladder.append(ladder[-1] * o.alpha_factor)
             alphas = jnp.asarray(ladder, dtype)
             K = len(ladder)
-            (Xc, Uc, dJ, J_new, c_new, merit_new, D, ratio,
-             ok) = jax.vmap(evaluate)(alphas)
+            # scalar outputs only: gathering Xc[idx]/Uc[idx] from the vmap
+            # would force all K candidate trajectories to materialize in
+            # HBM; the selected candidate is one axpy from alphas[idx]
+            (dJ, J_new, c_new, merit_new, D, ratio,
+             ok) = jax.vmap(lambda a: evaluate(a)[2:])(alphas)
             # first acceptable candidate, else the last tried (what the
             # sequential loop ends holding); ls_iter counts the failures
             # before it, exactly the while_loop's increment pattern
             idx = jnp.where(jnp.any(ok), jnp.argmax(ok), K - 1)
-            return LS(alpha=alphas[idx], done=jnp.array(True),
+            alpha_sel = alphas[idx]
+            return LS(alpha=alpha_sel, done=jnp.array(True),
                       accepted=ok[idx], ls_iter=idx,
-                      Xc=Xc[idx], Uc=Uc[idx], dJ=dJ[idx], J_new=J_new[idx],
+                      Xc=X - alpha_sel * dX, Uc=U - alpha_sel * dU,
+                      dJ=dJ[idx], J_new=J_new[idx],
                       c_new=c_new[idx], merit_new=merit_new[idx],
                       D=D[idx], ratio=ratio[idx])
 
