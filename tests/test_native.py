@@ -76,6 +76,32 @@ def test_fd_grad(setup):
     np.testing.assert_allclose(g_n, np.asarray(g_j), atol=1e-7)
 
 
+def test_aba(setup):
+    """Native ABA vs JAX ABA and vs Minv(u - c) (the FD identity; ref:
+    RBDReference_generalized.py:913-998, GRiD/test/test_aba.cu)."""
+    native, rbd, kin, q, qd, u = setup
+    qdd_n = native.aba(q, qd, u)
+    qdd_j = np.asarray(rbd.aba(jnp.asarray(q), jnp.asarray(qd),
+                               jnp.asarray(u)))
+    np.testing.assert_allclose(qdd_n, qdd_j, atol=TOL)
+    np.testing.assert_allclose(qdd_n, native.fd(q, qd, u), atol=1e-8)
+
+
+def test_idsva(setup):
+    """Native IDSVA vs JAX IDSVA and vs the 4-pass rnea_grad (ref:
+    RBDReference_generalized.py:717-826)."""
+    native, rbd, kin, q, qd, u = setup
+    qdd = np.sin(q)
+    dq_n, dqd_n = native.idsva(q, qd, qdd)
+    dq_j, dqd_j = rbd.idsva(jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd))
+    np.testing.assert_allclose(dq_n, np.asarray(dq_j), atol=TOL)
+    np.testing.assert_allclose(dqd_n, np.asarray(dqd_j), atol=TOL)
+    # rnea_grad's (n, 2n) [d/dq, d/dqd] agrees (no damping in either)
+    g4 = native.rnea_grad(q, qd, qdd)
+    np.testing.assert_allclose(dq_n, g4[:, : native.n], atol=1e-8)
+    np.testing.assert_allclose(dqd_n, g4[:, native.n:], atol=1e-8)
+
+
 def test_kinematics(setup):
     native, rbd, kin, q, qd, u = setup
     p_n = native.ee_pos(q)
@@ -84,3 +110,14 @@ def test_kinematics(setup):
     J_n = native.ee_jacobian(q)
     J_j = np.asarray(kin.jacobian(jnp.asarray(q)))
     np.testing.assert_allclose(J_n, J_j[: J_n.shape[0]], atol=1e-5)
+
+
+def test_cli_smoke(tmp_path, capsys):
+    """The printGRiD-analogue CLI: emit + full print/cross-check run
+    (ref: GRiD/printGRiD.py:27-47, printReferenceValues.py)."""
+    from trajoptmpcreference_tpu.native.__main__ import main
+    out = tmp_path / "arm2.cpp"
+    assert main(["arm2", "--emit", str(out)]) == 0
+    assert "tmr::rnea" in out.read_text()
+    assert main(["arm2"]) == 0
+    assert "ALL CHECKS PASSED" in capsys.readouterr().out

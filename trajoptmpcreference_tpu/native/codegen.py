@@ -86,6 +86,18 @@ def generate_cpp(robot: RobotModel, ee_offset=(0.0, 1.0, 0.0, 1.0)) -> str:
         "                 double gravity, double* out) {",
         "  tmr::fd_grad(k_robot, q, qd, u, gravity, out);",
         "}",
+        "void tmr_aba(const double* q, const double* qd, const double* tau,",
+        "             double gravity, double* qdd) {",
+        "  tmr::aba(k_robot, q, qd, tau, gravity, qdd);",
+        "}",
+        "void tmr_idsva(const double* q, const double* qd, const double* qdd,",
+        "               double gravity, double* dq, double* dqd) {",
+        "  tmr::idsva(k_robot, q, qd, qdd, gravity, dq, dqd);",
+        "}",
+        "void tmr_idsva_noqdd(const double* q, const double* qd,",
+        "                     double gravity, double* dq, double* dqd) {",
+        "  tmr::idsva(k_robot, q, qd, nullptr, gravity, dq, dqd);",
+        "}",
         "void tmr_ee_pos(const double* q, double* out3) {",
         "  tmr::ee_pos(k_robot, q, out3);",
         "}",

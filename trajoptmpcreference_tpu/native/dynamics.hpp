@@ -481,6 +481,239 @@ inline void fd_grad(const RobotConst& R, const double* q, const double* qd,
     for (int cx = 0; cx < n; ++cx) out[3 * n * r + 2 * n + cx] = Mi[n * r + cx];
 }
 
+// -------------------------------------------------------------------- ABA
+// Featherstone articulated-body forward dynamics, 3 passes
+// (ref: RBDReference_generalized.py:913-998; ops/rbd.py aba)
+inline void aba(const RobotConst& R, const double* q, const double* qd,
+                const double* tau, double gravity, double* qdd) {
+  const int n = R.n;
+  double X[TMR_MAX_N * 36], v[TMR_MAX_N * 6], cvel[TMR_MAX_N * 6];
+  double IA[TMR_MAX_N * 36], pA[TMR_MAX_N * 6], U[TMR_MAX_N * 6];
+  double dd[TMR_MAX_N], uu[TMR_MAX_N];
+  double g[6] = {0, 0, 0, 0, 0, -gravity};
+  for (int i = 0; i < n; ++i) {
+    joint_X(R, i, q[i], X + 36 * i);
+    const double* Si = R.S + 6 * i;
+    int p = R.parent[i];
+    double* vi = v + 6 * i;
+    double* ci = cvel + 6 * i;
+    if (p < 0) {
+      for (int k = 0; k < 6; ++k) { vi[k] = Si[k] * qd[i]; ci[k] = 0; }
+    } else {
+      mat6_vec(X + 36 * i, v + 6 * p, vi);
+      for (int k = 0; k < 6; ++k) vi[k] += Si[k] * qd[i];
+      double tmp[6];
+      crm_vec(vi, Si, tmp);               // mxS(S, v) * qd
+      for (int k = 0; k < 6; ++k) ci[k] = qd[i] * tmp[k];
+    }
+    std::memcpy(IA + 36 * i, R.I + 36 * i, 36 * sizeof(double));
+    double Iv[6];
+    mat6_vec(R.I + 36 * i, vi, Iv);
+    crf_vec(vi, Iv, pA + 6 * i);          // vxIv
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    const double* Si = R.S + 6 * i;
+    int p = R.parent[i];
+    mat6_vec(IA + 36 * i, Si, U + 6 * i);
+    double d = 0, s = 0;
+    for (int k = 0; k < 6; ++k) {
+      d += Si[k] * U[6 * i + k];
+      s += Si[k] * pA[6 * i + k];
+    }
+    dd[i] = d;
+    uu[i] = tau[i] - s;
+    if (p >= 0) {
+      double Ia[36];
+      for (int r = 0; r < 6; ++r)
+        for (int c2 = 0; c2 < 6; ++c2)
+          Ia[6 * r + c2] = IA[36 * i + 6 * r + c2]
+                           - U[6 * i + r] * U[6 * i + c2] / d;
+      double Iac[6], pa[6];
+      mat6_vec(Ia, cvel + 6 * i, Iac);
+      for (int k = 0; k < 6; ++k)
+        pa[k] = pA[6 * i + k] + Iac[k] + U[6 * i + k] * (uu[i] / d);
+      double tmp[36], tmp2[36];
+      mat6T_mat6(X + 36 * i, Ia, tmp);
+      mat6_mat6(tmp, X + 36 * i, tmp2);
+      for (int k = 0; k < 36; ++k) IA[36 * p + k] += tmp2[k];
+      double Xtpa[6];
+      mat6T_vec(X + 36 * i, pa, Xtpa);
+      for (int k = 0; k < 6; ++k) pA[6 * p + k] += Xtpa[k];
+    }
+  }
+  double a[TMR_MAX_N * 6];
+  for (int i = 0; i < n; ++i) {
+    const double* Si = R.S + 6 * i;
+    int p = R.parent[i];
+    double* ai = a + 6 * i;
+    if (p < 0) mat6_vec(X + 36 * i, g, ai);
+    else mat6_vec(X + 36 * i, a + 6 * p, ai);
+    for (int k = 0; k < 6; ++k) ai[k] += cvel[6 * i + k];
+    double s = 0;
+    for (int k = 0; k < 6; ++k) s += U[6 * i + k] * ai[k];
+    qdd[i] = (uu[i] - s) / dd[i];
+    for (int k = 0; k < 6; ++k) ai[k] += qdd[i] * Si[k];
+  }
+}
+
+// ------------------------------------------------------------------ IDSVA
+// spatial_inv: X = [[E,0],[B,E]] rotation-block transform =>
+// X^-1 = [[E^T,0],[-E^T B E^T, E^T]] (ops/spatial.py:68-81)
+inline void spatial_inv6(const double* X, double* Xi) {
+  double Et[9], B[9], EtB[9], EtBEt[9];
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) {
+      Et[3 * r + c] = X[6 * c + r];
+      B[3 * r + c] = X[6 * (r + 3) + c];
+    }
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) {
+      double s = 0;
+      for (int k = 0; k < 3; ++k) s += Et[3 * r + k] * B[3 * k + c];
+      EtB[3 * r + c] = s;
+    }
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) {
+      double s = 0;
+      for (int k = 0; k < 3; ++k) s += EtB[3 * r + k] * Et[3 * k + c];
+      EtBEt[3 * r + c] = s;
+    }
+  std::memset(Xi, 0, 36 * sizeof(double));
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) {
+      Xi[6 * r + c] = Et[3 * r + c];
+      Xi[6 * (r + 3) + (c + 3)] = Et[3 * r + c];
+      Xi[6 * (r + 3) + c] = -EtBEt[3 * r + c];
+    }
+}
+
+// true iff joint i is an ancestor of (or equals) joint k
+inline bool in_subtree(const RobotConst& R, int i, int k) {
+  for (int j = k; j >= 0; j = R.parent[j])
+    if (j == i) return true;
+  return false;
+}
+
+// Spatial-vector-algebra ID derivatives (Singh/Russel/Wensing):
+// dtau_dq, dtau_dqd each (n, n) row-major
+// (ref: RBDReference_generalized.py:717-826; ops/rbd.py idsva)
+inline void idsva(const RobotConst& R, const double* q, const double* qd,
+                  const double* qdd, double gravity,
+                  double* dtau_dq, double* dtau_dqd) {
+  const int n = R.n;
+  double Xup0[TMR_MAX_N * 36], v[TMR_MAX_N * 6], a[TMR_MAX_N * 6];
+  double f[TMR_MAX_N * 6], Sw[TMR_MAX_N * 6], Sd[TMR_MAX_N * 6];
+  double Sdd[TMR_MAX_N * 6], Sj[TMR_MAX_N * 6];
+  static thread_local double IC[TMR_MAX_N * 36], BC[TMR_MAX_N * 36];
+  double t1[TMR_MAX_N * 6], t2[TMR_MAX_N * 6], t3[TMR_MAX_N * 6],
+      t4[TMR_MAX_N * 6];
+  double g[6] = {0, 0, 0, 0, 0, -gravity};
+  for (int i = 0; i < n; ++i) {
+    int p = R.parent[i];
+    double Xi[36];
+    joint_X(R, i, q[i], Xi);
+    double vi[6], ai[6];
+    if (p < 0) {
+      std::memcpy(Xup0 + 36 * i, Xi, 36 * sizeof(double));
+      std::memset(vi, 0, sizeof(vi));
+      mat6_vec(Xi, g, ai);
+    } else {
+      mat6_mat6(Xi, Xup0 + 36 * p, Xup0 + 36 * i);
+      std::memcpy(vi, v + 6 * p, sizeof(vi));
+      std::memcpy(ai, a + 6 * p, sizeof(ai));
+    }
+    double Xdown[36];
+    spatial_inv6(Xup0 + 36 * i, Xdown);
+    double* Swi = Sw + 6 * i;
+    mat6_vec(Xdown, R.S + 6 * i, Swi);            // world-frame S
+    crm_vec(vi, Swi, Sd + 6 * i);                 // crm(v) S
+    double cv_sd[6];
+    crm_vec(ai, Swi, Sdd + 6 * i);                // crm(a) S
+    crm_vec(vi, Sd + 6 * i, cv_sd);               // crm(v) Sd
+    for (int k = 0; k < 6; ++k) Sdd[6 * i + k] += cv_sd[k];
+    double Sqd[6];
+    for (int k = 0; k < 6; ++k) Sqd[k] = Swi[k] * qd[i];
+    double m[6];
+    crm_vec(Sqd, Swi, m);                         // crm(S qd) S
+    for (int k = 0; k < 6; ++k) Sj[6 * i + k] = 2.0 * Sd[6 * i + k] + m[k];
+    double cv_S[6];
+    crm_vec(vi, Swi, cv_S);                       // crm(v_old) S (== Sd)
+    for (int k = 0; k < 6; ++k) {
+      vi[k] += Swi[k] * qd[i];
+      ai[k] += cv_S[k] * qd[i];
+      if (qdd) ai[k] += Swi[k] * qdd[i];
+    }
+    std::memcpy(v + 6 * i, vi, sizeof(vi));
+    std::memcpy(a + 6 * i, ai, sizeof(ai));
+    // I_i in world frame: Xup0^T I Xup0
+    double tmp[36];
+    mat6T_mat6(Xup0 + 36 * i, R.I + 36 * i, tmp);
+    mat6_mat6(tmp, Xup0 + 36 * i, IC + 36 * i);
+    double Iv[6], Ia[6], fx[6];
+    mat6_vec(IC + 36 * i, vi, Iv);
+    mat6_vec(IC + 36 * i, ai, Ia);
+    crf_vec(vi, Iv, fx);
+    for (int k = 0; k < 6; ++k) f[6 * i + k] = Ia[k] + fx[k];
+    // BC = crf(v) IC + icrf(IC v) - IC crm(v)
+    double crmv[36], icrfIv[36];
+    crm(vi, crmv);
+    icrf(Iv, icrfIv);
+    for (int r = 0; r < 6; ++r)
+      for (int c2 = 0; c2 < 6; ++c2) {
+        double s = icrfIv[6 * r + c2];
+        for (int k = 0; k < 6; ++k)
+          // crf(v) = -crm(v)^T
+          s += -crmv[6 * k + r] * IC[36 * i + 6 * k + c2]
+               - IC[36 * i + 6 * r + k] * crmv[6 * k + c2];
+        BC[36 * i + 6 * r + c2] = s;
+      }
+  }
+  std::memset(dtau_dq, 0, n * n * sizeof(double));
+  std::memset(dtau_dqd, 0, n * n * sizeof(double));
+  for (int i = n - 1; i >= 0; --i) {
+    mat6_vec(IC + 36 * i, Sw + 6 * i, t1 + 6 * i);
+    double ICSj[6], ICSdd[6], icf[36], icfS[6];
+    mat6_vec(BC + 36 * i, Sw + 6 * i, t2 + 6 * i);
+    mat6_vec(IC + 36 * i, Sj + 6 * i, ICSj);
+    for (int k = 0; k < 6; ++k) t2[6 * i + k] += ICSj[k];
+    mat6_vec(BC + 36 * i, Sd + 6 * i, t3 + 6 * i);
+    mat6_vec(IC + 36 * i, Sdd + 6 * i, ICSdd);
+    icrf(f + 6 * i, icf);
+    mat6_vec(icf, Sw + 6 * i, icfS);
+    for (int k = 0; k < 6; ++k) t3[6 * i + k] += ICSdd[k] + icfS[k];
+    mat6T_vec(BC + 36 * i, Sw + 6 * i, t4 + 6 * i);
+    for (int k2 = 0; k2 < n; ++k2) {
+      if (!in_subtree(R, i, k2)) continue;
+      double s11 = 0, s14 = 0, sj1 = 0, sw4 = 0;
+      for (int k = 0; k < 6; ++k) {
+        s11 += Sdd[6 * i + k] * t1[6 * k2 + k];
+        s14 += Sd[6 * i + k] * t4[6 * k2 + k];
+        sj1 += Sj[6 * i + k] * t1[6 * k2 + k];
+        sw4 += Sw[6 * i + k] * t4[6 * k2 + k];
+      }
+      dtau_dq[n * k2 + i] = s11 + s14;
+      dtau_dqd[n * k2 + i] = sj1 + sw4;
+      if (k2 != i) {                               // strict subtree rows
+        double s3 = 0, s2 = 0;
+        for (int k = 0; k < 6; ++k) {
+          s3 += Sw[6 * i + k] * t3[6 * k2 + k];
+          s2 += Sw[6 * i + k] * t2[6 * k2 + k];
+        }
+        dtau_dq[n * i + k2] = s3;
+        dtau_dqd[n * i + k2] = s2;
+      }
+    }
+    int p = R.parent[i];
+    if (p >= 0) {
+      for (int k = 0; k < 36; ++k) {
+        IC[36 * p + k] += IC[36 * i + k];
+        BC[36 * p + k] += BC[36 * i + k];
+      }
+      for (int k = 0; k < 6; ++k) f[6 * p + k] += f[6 * i + k];
+    }
+  }
+}
+
 // --------------------------------------------------------- kinematics
 // homogeneous transform of joint j (ops/spatial.py:139-161)
 inline void joint_H(const RobotConst& R, int j, double q, double* H) {

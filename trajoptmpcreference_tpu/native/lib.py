@@ -87,6 +87,27 @@ class NativeDynamics:
                               ctypes.c_double(gravity), _ptr(out))
         return out
 
+    def aba(self, q, qd, tau, gravity=-9.81):
+        q, qd, tau = self._vec(q), self._vec(qd), self._vec(tau)
+        qdd = np.zeros(self.n)
+        self._lib.tmr_aba(_ptr(q), _ptr(qd), _ptr(tau),
+                          ctypes.c_double(gravity), _ptr(qdd))
+        return qdd
+
+    def idsva(self, q, qd, qdd=None, gravity=-9.81):
+        q, qd = self._vec(q), self._vec(qd)
+        dq = np.zeros((self.n, self.n))
+        dqd = np.zeros((self.n, self.n))
+        if qdd is None:
+            self._lib.tmr_idsva_noqdd(_ptr(q), _ptr(qd),
+                                      ctypes.c_double(gravity),
+                                      _ptr(dq), _ptr(dqd))
+        else:
+            qdd = self._vec(qdd)
+            self._lib.tmr_idsva(_ptr(q), _ptr(qd), _ptr(qdd),
+                                ctypes.c_double(gravity), _ptr(dq), _ptr(dqd))
+        return dq, dqd
+
     def ee_pos(self, q):
         q = self._vec(q)
         out = np.zeros(3)
