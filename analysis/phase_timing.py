@@ -96,6 +96,38 @@ def main():
             X + t * eps, U, dxu0, J0, c0, merit0, xs, cp, cstate, mu)
         return jnp.sum(ls.alpha)
 
+    def _ladder(dtype):
+        ladder = [1.0]
+        while ladder[-1] > o.alpha_min:
+            ladder.append(ladder[-1] * o.alpha_factor)
+        return jnp.asarray(ladder, dtype)
+
+    def phase_ls_cost_diff(t):
+        """The ladder's cost-diff half: K-rung stage_value_diff sweeps."""
+        alphas = _ladder(dtype)
+        nx = plant.nx
+
+        def one(x, u, d, p, cs):
+            dX = d[:, :nx].T
+            dU = d[:-1, nx:].T
+            return jnp.sum(jax.vmap(lambda a: solver.total_cost_diff(
+                x, u, x - a * dX, u - a * dU, p, cs))(alphas))
+
+        return jnp.sum(jax.vmap(one)(X + t * eps, U, dxu0, cp, cstate))
+
+    def phase_ls_violation(t):
+        """The ladder's violation half: K-rung fd defect rollouts."""
+        alphas = _ladder(dtype)
+        nx = plant.nx
+
+        def one(x, u, d, x0):
+            dX = d[:, :nx].T
+            dU = d[:-1, nx:].T
+            return jnp.sum(jax.vmap(lambda a: solver.total_violation(
+                x - a * dX, u - a * dU, x0))(alphas))
+
+        return jnp.sum(jax.vmap(one)(X + t * eps, U, dxu0, xs))
+
     def phase_iterate(t):
         out = jax.vmap(
             lambda x, u, J, c, m, r, d, g, w, x0, p, cs:
@@ -115,6 +147,8 @@ def main():
         "schur + PCG-SS solve (warm guess)": phase_schur_pcg,
         f"schur + exact solve ({solver.kkt.exact_schur})": phase_schur_exact,
         "line search": phase_line_search,
+        "ls cost-diff half (K rungs)": phase_ls_cost_diff,
+        "ls violation half (K rungs, fd rollout)": phase_ls_violation,
         "sqp_iterate (QP + LS + schedules)": phase_iterate,
         f"full solve ({o.max_iter} iters, cold)": phase_solve,
     }

@@ -77,6 +77,8 @@ def main():
         knobs["exact_schur"] = os.environ["BENCH_EXACT_SCHUR"]
     if "BENCH_ALPHA_MIN" in os.environ:      # line-search ladder depth
         knobs["alpha_min"] = float(os.environ["BENCH_ALPHA_MIN"])
+    if "BENCH_ALPHA_FACTOR" in os.environ:   # line-search rung spacing
+        knobs["alpha_factor"] = float(os.environ["BENCH_ALPHA_FACTOR"])
     if "BENCH_LS_GRAD_BASE" in os.environ:   # 1 = Armijo D at base point
         knobs["ls_grad_at_base"] = os.environ["BENCH_LS_GRAD_BASE"] == "1"
     if "BENCH_RTI_ALPHA" in os.environ:      # >0 = RTI fixed-step mode
