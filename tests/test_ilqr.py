@@ -137,3 +137,71 @@ def test_vmap_batch_of_goals():
     assert res.X.shape == (3, 2, N)
     for i, th in enumerate((2.5, 3.0, np.pi)):
         assert abs(float(res.X[i, 0, -1]) - th) < 0.25
+
+
+def test_parallel_riccati_matches_sequential():
+    """The associative-scan backward pass (Sarkka & Garcia-Fernandez
+    conditional-value-function elements) must reproduce the sequential
+    reverse-scan Riccati exactly: gains at every knot, the model-reduction
+    scalars, and full solve iterates."""
+    plant = PendulumPlant()
+    N, dt = 20, 0.1
+    cost = QuadraticCost(jnp.diag(jnp.array([1.0, 0.1])), 100.0 * jnp.eye(2),
+                         0.01 * jnp.eye(1), jnp.array([np.pi, 0.0]))
+    seq = make_ilqr(plant, cost, None, N, dt)
+    par = make_ilqr(plant, cost, None, N, dt, parallel_riccati=True)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(0.3 * rng.standard_normal((plant.nx, N)))
+    U = jnp.asarray(0.3 * rng.standard_normal((plant.nu, N - 1)))
+    cp = cost.default_params
+    cs = seq.cset.init_state(dtype=X.dtype)
+    A, B, g, H, gN, HN = seq._expansions(X, U, cp, cs)
+    rho = jnp.asarray(1e-3)
+    K1, k1, d11, d21, bad1 = seq.backward(A, B, g, H, gN, HN, rho)
+    K2, k2, d12, d22, bad2 = par.backward_parallel(A, B, g, H, gN, HN, rho)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-10)
+    np.testing.assert_allclose(float(d11), float(d12), rtol=1e-12)
+    np.testing.assert_allclose(float(d21), float(d22), rtol=1e-12)
+    assert bool(bad1) == bool(bad2) is False
+
+    x0 = jnp.tile(jnp.array([0.1, 0.0])[:, None], (1, N))
+    u0 = jnp.zeros((1, N - 1))
+    r1 = jax.jit(seq.solve)(x0, u0)
+    r2 = jax.jit(par.solve)(x0, u0)
+    assert int(r1.exit_ilqr) == int(r2.exit_ilqr) == 1
+    np.testing.assert_allclose(np.asarray(r1.U), np.asarray(r2.U), atol=1e-10)
+
+
+def test_parallel_riccati_swing_up_on_arm():
+    """End-to-end physics check of the parallel backward pass on the
+    6-DoF task-space problem (not just LQR agreement)."""
+    robot = serial_arm(3)
+    plant = URDFPlant(robot=robot)
+    N, dt = 16, 0.05
+    goal = jnp.array([1.0, 1.5, 0.0, 0.0, 0.0, 0.0])
+    cost = UrdfCost(plant, jnp.eye(6), 100.0 * jnp.eye(6),
+                    0.01 * jnp.eye(3), goal)
+    solver = make_ilqr(plant, cost, None, N, dt, parallel_riccati=True)
+    res = jax.jit(solver.solve)(jnp.zeros((plant.nx, N)),
+                                jnp.zeros((plant.nu, N - 1)))
+    kin = make_kinematics(robot)
+    ee = kin.ee_pos_xyz(res.X[: plant.nq, -1])
+    # the 0.8 s horizon gets the EE near (not onto) the goal
+    assert float(jnp.linalg.norm(ee[:2] - goal[:2])) < 0.25
+    # agreement bar: the redundant 3-link reach has a continuum of
+    # near-minimizers, so iterates drift apart in float round-off over
+    # many accepted steps — the invariants are equal achieved cost and
+    # equal per-call gains, not bitwise-equal trajectories
+    seq = make_ilqr(plant, cost, None, N, dt)
+    ref = jax.jit(seq.solve)(jnp.zeros((plant.nx, N)),
+                             jnp.zeros((plant.nu, N - 1)))
+    np.testing.assert_allclose(float(res.J), float(ref.J), rtol=1e-5)
+    cp = cost.default_params
+    cs = seq.cset.init_state(dtype=res.X.dtype)
+    A, B, g, H, gN, HN = seq._expansions(ref.X, ref.U, cp, cs)
+    rho = jnp.asarray(1.0)
+    K1, k1, _, _, _ = seq.backward(A, B, g, H, gN, HN, rho)
+    K2, k2, _, _, _ = solver.backward_parallel(A, B, g, H, gN, HN, rho)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-8)
