@@ -153,6 +153,10 @@ def main():
         f"full solve ({o.max_iter} iters, cold)": phase_solve,
     }
 
+    only = os.environ.get("PHASE_ONLY", "")
+    if only:
+        phases = {k: v for k, v in phases.items() if only in k}
+
     def timed(fn, reps):
         def outer(_):
             def body(i, t):
@@ -178,6 +182,8 @@ def main():
         rows.append((name, per_call_ms))
         print(f"{name}: {per_call_ms:.2f} ms  (B={B})", flush=True)
 
+    if only:
+        return            # filtered probe runs don't overwrite the artifact
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             f"phase_timing_{backend}.md")
     with open(out_path, "w") as f:

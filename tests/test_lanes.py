@@ -105,3 +105,47 @@ def test_pallas_fd_interpret():
                            interpret=True)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 1e-4
+
+
+def test_task_vec_plain_and_lanes():
+    """task_vec = [ee_pos_k; J qd] in one frames pass must equal the
+    separate ee_pos + jacobian calls, in both plain and lanes kinematics,
+    and its custom JVP must match jacobian_tot_state."""
+    from trajoptmpcreference_tpu.ops.kinematics import make_kinematics
+    for n in ARMS:
+        robot = serial_arm(n)
+        rng = np.random.default_rng(3 + n)
+        q = jnp.asarray(rng.standard_normal(n))
+        qd = jnp.asarray(rng.standard_normal(n))
+        k = min(3, n)
+        for use_lanes in (False, True):
+            kin = make_kinematics(robot, use_lanes=use_lanes)
+            ref = jnp.concatenate([kin.ee_pos_xyz(q)[:k], kin.jacobian(q) @ qd])
+            out = kin.task_vec(q, qd)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-12)
+            # tangent = jacobian_tot_state @ [tq; tqd]
+            t = jnp.asarray(rng.standard_normal(2 * n))
+            _, jvp = jax.jvp(lambda x: kin.task_vec(x[:n], x[n:]),
+                             (jnp.concatenate([q, qd]),), (t,))
+            ref_t = kin.jacobian_tot_state(q, qd) @ t
+            np.testing.assert_allclose(np.asarray(jvp), np.asarray(ref_t),
+                                       atol=1e-9)
+
+
+def test_pallas_task_vec_interpret():
+    """The fused Pallas task-residual kernel (interpreter mode on CPU; the
+    compiled path is A/B'd on real TPU) matches the XLA lanes path."""
+    from trajoptmpcreference_tpu.ops.kinematics import make_kinematics
+    robot = serial_arm(6)
+    rng = np.random.default_rng(13)
+    B = 256
+    q = jnp.asarray(rng.standard_normal((B, 6)) * 0.3, jnp.float32)
+    qd = jnp.asarray(rng.standard_normal((B, 6)) * 0.3, jnp.float32)
+    kin_p = make_kinematics(robot, use_lanes=True, use_pallas_task=True,
+                            pallas_interpret=True)
+    kin_x = make_kinematics(robot, use_lanes=True)
+    out = jax.vmap(kin_p.task_vec)(q, qd)
+    ref = jax.vmap(kin_x.task_vec)(q, qd)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-5

@@ -78,7 +78,8 @@ def URDFPlant(path: Optional[str] = None,
               options: Optional[dict] = None,
               use_lanes: bool = True,
               use_pallas: bool = False,
-              use_pallas_fd: bool = False) -> Plant:
+              use_pallas_fd: bool = False,
+              use_pallas_task: bool = False) -> Plant:
     """URDF rigid-body plant: qdd = Minv(q) (u - c(q, qd))
     (ref: TrajoptPlant.py:274-332).
 
@@ -93,7 +94,8 @@ def URDFPlant(path: Optional[str] = None,
             raise ValueError("URDFPlant needs a path or a RobotModel")
         robot = parse_urdf(path)
     rbd = make_rbd(robot)
-    kin = make_kinematics(robot, use_lanes=use_lanes)
+    kin = make_kinematics(robot, use_lanes=use_lanes,
+                          use_pallas_task=use_pallas_task)
     n = robot.n
 
     if use_lanes:

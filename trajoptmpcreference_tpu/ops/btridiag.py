@@ -141,6 +141,10 @@ def _gauss_jordan_solve(A, B, diag_pivot: bool = False):
         upd = jnp.where((idx == i)[..., None], pivot_row[..., None, :], upd)
         return upd
 
+    # NOTE (r3, measured): unrolling the pivot loop for the diag_pivot
+    # path cuts the isolated CR-solve phase only 2.04 -> 1.84 ms but
+    # balloons the full MPC graph's compile past the 28-min bench budget
+    # — the fori_loop stays.
     M = jax.lax.fori_loop(0, n, body, M)
     return M[..., :, n:]
 

@@ -47,6 +47,9 @@ class Kinematics:
     d2jdq2: Callable           # (q,) -> (k, n, n, n) d2J/dq2 tensor
     jacobian_tot_state: Callable  # (q, qd) -> (2k, 2n)
     frames: Callable           # (q,) -> (p (3,), w (n,3), o (n,3))
+    task_vec: Callable = None  # (q, qd) -> (2k,) [ee_pos_k; J qd] in ONE
+    # frames pass (the task-space cost's residual before the goal shift —
+    # ee_pos_xyz + jacobian as separate calls walk the chain twice)
     plain: "Kinematics" = None  # autodiff-safe variant (self when not lanes)
 
     def __post_init__(self):
@@ -57,7 +60,9 @@ class Kinematics:
 def make_kinematics(robot: RobotModel,
                     offset: Tuple[float, float, float] = (0.0, 1.0, 0.0),
                     leaf: int = 0,
-                    use_lanes: bool = False) -> Kinematics:
+                    use_lanes: bool = False,
+                    use_pallas_task: bool = False,
+                    pallas_interpret: bool = False) -> Kinematics:
     n = robot.n
     leaf_id = robot.leaves[leaf]
     chain = list(robot.ancestors(leaf_id)) + [leaf_id]
@@ -98,16 +103,26 @@ def make_kinematics(robot: RobotModel,
     def ee_pos(q):
         return ee_pos_xyz(q)[:2]
 
-    def _jac_full(q):
-        p, w, o = frames(q)
+    def _jac_from_frames(p, w, o):
         rel = p[None, :] - o                       # (n, 3)
         Jrev = jnp.cross(w, rel)                   # (n, 3)
         J = jnp.where(jnp.asarray(is_rev)[:, None], Jrev, w)
         J = jnp.where(jnp.asarray(in_chain)[:, None], J, 0.0)
         return J.T                                 # (3, n)
 
+    def _jac_full(q):
+        return _jac_from_frames(*frames(q))
+
     def jacobian(q):
         return _jac_full(q)[:k]
+
+    def task_vec(q, qd):
+        """[ee_pos_k; J qd] from ONE frames pass (the task-space cost
+        residual; ee_pos + jacobian as separate calls walk the homogeneous
+        chain twice)."""
+        p, w, o = frames(q)
+        J = _jac_from_frames(p, w, o)[:k]
+        return jnp.concatenate([p[:k], J @ qd])
 
     def djdq(q):
         """dJ[i, j]/dq_l as (k, n, n) from the geometric recursions."""
@@ -164,6 +179,7 @@ def make_kinematics(robot: RobotModel,
         d2jdq2=d2jdq2,
         jacobian_tot_state=jacobian_tot_state,
         frames=frames,
+        task_vec=task_vec,
     )
     if not use_lanes:
         return plain
@@ -239,6 +255,17 @@ def make_kinematics(robot: RobotModel,
         bot = jnp.concatenate([J2, J], axis=1)
         return jnp.concatenate([top, bot], axis=0)          # (2k, 2n, L)
 
+    def task_vec_L(q, qd):
+        """[ee_pos_k; J qd] over lanes: (n, L), (n, L) -> (2k, L), one
+        frames pass."""
+        p, w, o = frames_L(q)
+        rel = p[None, :, :] - o
+        Jrev = jnp.cross(w, rel, axis=1)
+        J = jnp.where(rev_m[:, None, None], Jrev, w)
+        J = jnp.where(chain_m[:, None, None], J, 0.0)       # (n, 3, L)
+        vel = jnp.sum(J[:, :k, :] * qd[:, None, :], axis=0)  # (k, L)
+        return jnp.concatenate([p[:k], vel], axis=0)
+
     def _wrap(fn_L, n_in):
         @custom_vmap
         def f(*args):
@@ -252,6 +279,50 @@ def make_kinematics(robot: RobotModel,
             return _unfold(f(*folded), axis_size), True
 
         return f
+
+    def _pallas_task_vec(q, qd, block_l=128, interpret=False):
+        """task_vec_L as one Pallas kernel per lane tile: the homogeneous
+        chain, Jacobian columns, and J qd contraction stay in VMEM instead
+        of XLA's many small HBM-bound elementwise kernels (the same
+        strategy as ops/lanes._pallas_fd; constants here are small numpy
+        literals, so no closure_convert is needed)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L = q.shape[1]
+
+        def kernel(q_ref, qd_ref, out_ref):
+            out_ref[:] = task_vec_L(q_ref[:], qd_ref[:])
+
+        in_spec = pl.BlockSpec((n, block_l), lambda g: (0, g),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((2 * k, block_l), lambda g: (0, g),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(L // block_l,),
+            in_specs=[in_spec, in_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((2 * k, L), q.dtype),
+            interpret=interpret,
+        )(q, qd)
+
+    @custom_vmap
+    def tvL(q, qd):
+        if (use_pallas_task and q.shape[1] % 128 == 0
+                and (pallas_interpret or jax.default_backend() == "tpu")):
+            try:
+                return _pallas_task_vec(q, qd, interpret=pallas_interpret)
+            except ValueError:
+                pass
+        return task_vec_L(q, qd)
+
+    @tvL.def_vmap
+    def _tv_rule(axis_size, in_batched, q, qd):
+        folded = [
+            _fold(a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape))
+            for a, b in zip((q, qd), in_batched)]
+        return _unfold(tvL(*folded), axis_size), True
 
     eeL = _wrap(lambda q: frames_L(q)[0], 1)
     jacfullL = _wrap(jac_full_L, 1)
@@ -289,12 +360,26 @@ def make_kinematics(robot: RobotModel,
     def jt_l(q, qd):
         return jtL(q[:, None], qd[:, None])[:, :, 0]
 
+    @jax.custom_jvp
+    def task_vec_l(q, qd):
+        return tvL(q[:, None], qd[:, None])[:, 0]
+
+    @task_vec_l.defjvp
+    def _tv_jvp(primals, tangents):
+        # exact tangent: d [ee; J qd] / d [q; qd] IS jacobian_tot_state
+        q, qd = primals
+        tq, tqd = tangents
+        out = task_vec_l(q, qd)
+        Jt = jt_l(q, qd)
+        return out, Jt @ jnp.concatenate([tq, tqd])
+
     return dataclasses.replace(
         plain,
         ee_pos_xyz=ee_pos_xyz_l,
         ee_pos=ee_pos_l,
         jacobian=jacobian_l,
         jacobian_tot_state=jt_l,
+        task_vec=task_vec_l,
         plain=plain,
     )
 

@@ -161,6 +161,10 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
 
     def delta_x(p, x):
         q, qd = x[:n], x[n:]
+        if kin.task_vec is not None:
+            # one frames pass (and the Pallas tile kernel when the plant
+            # enables it) instead of separate ee_pos + jacobian chains
+            return kin.task_vec(q, qd) - p.xg
         pos = kin.ee_pos_xyz(q)[:kdim]
         vel = kin.jacobian(q) @ qd
         return jnp.concatenate([pos, vel]) - p.xg
