@@ -1,0 +1,71 @@
+"""iLQR single-solve latency: sequential vs associative-scan Riccati.
+
+The parallel backward pass (solvers/ilqr.backward_parallel) exists for
+B=1 latency: the sequential reverse scan serializes N-1 dependent knot
+steps per iteration, while the associative scan runs log2(N) combine
+levels of batched block ops.  This measures a warm jitted solve at
+several horizons on the live backend (axon TPU: only a host transfer is
+a reliable completion barrier).
+
+Run:  python analysis/ilqr_latency.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from trajoptmpcreference_tpu import PendulumPlant, QuadraticCost, SQPOptions
+    from trajoptmpcreference_tpu.solvers.ilqr import make_ilqr
+
+    backend = jax.default_backend()
+    plant = PendulumPlant()
+    dtype = jnp.float32 if backend == "tpu" else jnp.float64
+    rows = []
+    for N in (32, 64, 128, 256):
+        cost = QuadraticCost(jnp.eye(2, dtype=dtype),
+                             100.0 * jnp.eye(2, dtype=dtype),
+                             0.1 * jnp.eye(1, dtype=dtype),
+                             jnp.array([np.pi, 0.0], dtype=dtype))
+        opts = SQPOptions(max_iter=8, exit_tolerance=0.0)  # fixed work
+        x0 = jnp.zeros((2, N), dtype=dtype)
+        u0 = jnp.zeros((1, N - 1), dtype=dtype)
+        res = {}
+        for name, par in (("sequential", False), ("parallel", True)):
+            s = make_ilqr(plant, cost, None, N, 0.1, options=opts,
+                          parallel_riccati=par)
+            f = jax.jit(s.solve)
+            float(f(x0, u0).J)                     # compile + warm
+            best = np.inf
+            for _ in range(7):
+                t0 = time.perf_counter()
+                float(f(x0, u0).J)                 # host fetch = barrier
+                best = min(best, time.perf_counter() - t0)
+            res[name] = best * 1e3
+        rows.append((N, res["sequential"], res["parallel"]))
+        print(f"N={N}: sequential {res['sequential']:.2f} ms, "
+              f"parallel {res['parallel']:.2f} ms "
+              f"({res['sequential'] / res['parallel']:.2f}x)", flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"ilqr_latency_{backend}.md")
+    with open(out, "w") as f:
+        f.write(f"# iLQR warm single-solve latency ({backend}, 8 fixed "
+                "iterations, pendulum)\n\n"
+                "| N | sequential scan (ms) | associative scan (ms) | "
+                "speedup |\n|---|---|---|---|\n")
+        for N, s, p in rows:
+            f.write(f"| {N} | {s:.2f} | {p:.2f} | {s / p:.2f}x |\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,17 +90,33 @@ def main():
     plant, cost, ctrl = _flagship_mpc(N=N, use_pallas=use_pallas,
                                       use_pallas_pcg=use_pallas_pcg,
                                       **knobs)
-    # Iteration schedule (solvers/mpc.run_scheduled): full SQP budget for the
-    # first BENCH_COLD_STEPS control steps (the cold-start transient from a
-    # ~5 m goal error), then BENCH_WARM_SQP_ITERS iterations/step once the
-    # receding-horizon warm start carries the solve.  0 = uniform budget.
+    # Iteration schedule (solvers/mpc.run_scheduled): a HIGH-budget phase
+    # for the first BENCH_COLD_STEPS control steps (round-3 forensics,
+    # analysis/unstable_scenarios.md: every unstable scenario diverges in
+    # the cold-start transient and every one is fixed by a 6-iter/9-rung
+    # budget), then the main config once the receding-horizon warm start
+    # carries the solve.  0 = uniform budget.  (Round 2 tested the inverse
+    # schedule — cheap steady state — and rejected it: warm 2-iter steps
+    # drift.  BENCH_WARM_SQP_ITERS reproduces that experiment.)
     cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "0"))
-    warm_iters = int(os.environ.get("BENCH_WARM_SQP_ITERS", "2"))
-    ctrl_warm = None
-    if cold_steps > 0:
+    ctrl_cold = ctrl_warm = None
+    if cold_steps > 0 and "BENCH_WARM_SQP_ITERS" in os.environ:
+        warm_iters = int(os.environ["BENCH_WARM_SQP_ITERS"])
         _, _, ctrl_warm = _flagship_mpc(N=N, use_pallas=use_pallas,
                                         use_pallas_pcg=use_pallas_pcg,
                                         **{**knobs, "max_iter": warm_iters})
+    elif cold_steps > 0:
+        cold_knobs = {
+            **knobs,
+            "max_iter": int(os.environ.get("BENCH_COLD_SQP_ITERS", "6")),
+            "alpha_min": float(os.environ.get("BENCH_COLD_ALPHA_MIN",
+                                              "0.005")),
+            "alpha_factor": float(os.environ.get("BENCH_COLD_ALPHA_FACTOR",
+                                                 "0.5")),
+        }
+        _, _, ctrl_cold = _flagship_mpc(N=N, use_pallas=use_pallas,
+                                        use_pallas_pcg=use_pallas_pcg,
+                                        **cold_knobs)
     nx = plant.nx
     dtype = jnp.float32
 
@@ -116,6 +132,10 @@ def main():
         if ctrl_warm is not None and nsteps > cold_steps:
             from trajoptmpcreference_tpu.solvers.mpc import run_scheduled
             phases = [(ctrl, cold_steps), (ctrl_warm, nsteps - cold_steps)]
+            run = lambda x0, cp: run_scheduled(phases, x0, cost_params=cp)
+        elif ctrl_cold is not None and nsteps > cold_steps:
+            from trajoptmpcreference_tpu.solvers.mpc import run_scheduled
+            phases = [(ctrl_cold, cold_steps), (ctrl, nsteps - cold_steps)]
             run = lambda x0, cp: run_scheduled(phases, x0, cost_params=cp)
         else:
             run = lambda x0, cp: ctrl.run(x0, steps=nsteps, cost_params=cp)
