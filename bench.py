@@ -98,7 +98,11 @@ def main():
     # carries the solve.  0 = uniform budget.  (Round 2 tested the inverse
     # schedule — cheap steady state — and rejected it: warm 2-iter steps
     # drift.  BENCH_WARM_SQP_ITERS reproduces that experiment.)
-    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "0"))
+    # default: cold = 8 steps x 8 iters x 9-rung ladder, steady = the
+    # _flagship 3-iter/3-rung config — measured 16554 solves/s @ 512/512
+    # stable (150 steps) and 17874 @ 512/512, 0.006 m median (300 steps),
+    # vs the round-2 uniform defaults' 16405 @ 502/512.  0 disables.
+    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "8"))
     ctrl_cold = ctrl_warm = None
     if cold_steps > 0 and "BENCH_WARM_SQP_ITERS" in os.environ:
         warm_iters = int(os.environ["BENCH_WARM_SQP_ITERS"])
