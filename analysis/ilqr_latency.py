@@ -42,14 +42,28 @@ def main():
         for name, par in (("sequential", False), ("parallel", True)):
             s = make_ilqr(plant, cost, None, N, 0.1, options=opts,
                           parallel_riccati=par)
-            f = jax.jit(s.solve)
-            float(f(x0, u0).J)                     # compile + warm
-            best = np.inf
-            for _ in range(7):
-                t0 = time.perf_counter()
-                float(f(x0, u0).J)                 # host fetch = barrier
-                best = min(best, time.perf_counter() - t0)
-            res[name] = best * 1e3
+
+            def reps(r):
+                # serialized solves (data-dependent carry) so the axon
+                # dispatch round-trip (~30 ms) cancels in the two-rep slope
+                def outer(_):
+                    def body(i, t):
+                        out = s.solve(x0 + t * jnp.asarray(1e-30, dtype),
+                                      u0)
+                        return t + out.J * jnp.asarray(1e-30, dtype) + 1.0
+                    return jax.lax.fori_loop(0, r, body,
+                                             jnp.asarray(0.0, dtype))
+                f = jax.jit(outer)
+                float(f(0))                        # compile + warm
+                best = np.inf
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    float(f(0))                    # host fetch = barrier
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            r1, r2 = 2, 12
+            res[name] = (reps(r2) - reps(r1)) / (r2 - r1) * 1e3
         rows.append((N, res["sequential"], res["parallel"]))
         print(f"N={N}: sequential {res['sequential']:.2f} ms, "
               f"parallel {res['parallel']:.2f} ms "
