@@ -438,9 +438,9 @@ inline void rnea_grad(const RobotConst& R, const double* q, const double* qd,
     if (p >= 0) {
       // df_p += X^T df_i (+ i-th column X^T fxS(S, f_acc_i))
       double fx[6], Xtfx[6];
-      // fxS(S, f) = -crm(f?)... fxS(S, vec) = -mxS(S, vec) = -crm(vec) @ S
-      crm_vec(f + 6 * i, Si, fx);
-      for (int k = 0; k < 6; ++k) fx[k] = -fx[k];
+      // fxS(S, f) = crf(S) f; the reference's -crm(f) S shortcut is
+      // revolute-only (see ops/spatial.py fxS docstring)
+      crf_vec(Si, f + 6 * i, fx);
       mat6T_vec(Xi, fx, Xtfx);
       for (int r = 0; r < 6; ++r)
         for (int cx = 0; cx < n; ++cx) {

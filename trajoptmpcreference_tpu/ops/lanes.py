@@ -388,7 +388,9 @@ def _rnea_grad_lanes(robot, X, q, qd, qdd, gravity, v, a, f_acc,
         p = parent[i]
         if p != -1:
             upd = _mmTm(X[i], df_dq[i])
-            fxS = -_crm_v(f_acc[i], jnp.broadcast_to(Si, (6, q.shape[1])))
+            # fxS = crf(S) f (ops/spatial.fxS); the reference's -crm(f) S
+            # shortcut is revolute-only — see spatial.py fxS docstring
+            fxS = _crf_v(jnp.broadcast_to(Si, (6, q.shape[1])), f_acc[i])
             upd = _addcol(upd, i, _mmTv(X[i], fxS))
             df_dq[p] = df_dq[p] + upd
             df_dqd[p] = df_dqd[p] + _mmTm(X[i], df_dqd[i])

@@ -56,8 +56,16 @@ def mxS(S, vec, alpha=1.0):
 
 
 def fxS(S, vec, alpha=1.0):
-    """-alpha * crm(vec) @ S (ref: RBDReference.py:94-97)."""
-    return -mxS(S, vec, alpha)
+    """alpha * crf(S) @ vec — the force cross of the joint subspace with a
+    force vector.
+
+    The reference computes this as -mxS(S, vec) (ref: RBDReference.py:94-97),
+    an identity that holds ONLY for purely-angular S (revolute joints): for
+    prismatic S = (0; v), crf(S) f = [v x f_lin; 0] while -crm(f) S =
+    [0; v x f_ang].  The reference never hits the difference (its URDFs are
+    all revolute); verified against jax.jacfwd of rnea on a mixed R-P-R arm
+    (tests/test_prismatic.py)."""
+    return alpha * (crf(S) @ vec)
 
 
 def vxIv(v, Imat):
