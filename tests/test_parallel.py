@@ -174,3 +174,62 @@ def test_horizon_sharded_solve_with_hard_constraints():
     res_s = jax.jit(sharded.solve)(x0, u0)
     np.testing.assert_allclose(np.asarray(res_s.U), np.asarray(res_b.U),
                                atol=1e-6)
+
+
+def test_sharded_exact_matches_thomas(mesh8):
+    """SPIKE substructured direct solve (sharded_btd_exact) == the
+    replicated block-Thomas on a random SPD block-tridiagonal system."""
+    from trajoptmpcreference_tpu.ops.btridiag import btd_block_thomas
+    from trajoptmpcreference_tpu.parallel.horizon import (
+        ShardedBTD,
+        sharded_btd_exact,
+    )
+
+    N, bs = 32, 4                       # L = 4 local rows per shard
+    A = _random_spd_btd(N, bs)
+    b = jnp.asarray(np.random.default_rng(5).standard_normal((N, bs)))
+    x_ref = btd_block_thomas(A, b)
+    sh = shard_btd(A, 8)
+
+    def f(diag, upper, uprev, bl):
+        return sharded_btd_exact(ShardedBTD(diag, upper, uprev), bl,
+                                 "horizon")
+
+    spec = P("horizon")
+    x = jax.jit(jax.shard_map(
+        f, mesh=mesh8, in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False))(sh.diag, sh.upper, sh.upper_prev, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+def test_horizon_sharded_exact_sqp_matches_unsharded():
+    """FULL SQP solve with method 'S' horizon-sharded (the flagship's exact
+    Schur method, solved by SPIKE substructuring across the mesh) vs the
+    single-device exact solver."""
+    from trajoptmpcreference_tpu.models.plants import URDFPlant
+    from trajoptmpcreference_tpu.models.urdf import serial_arm
+    from trajoptmpcreference_tpu.solvers.costs import UrdfCost
+    from trajoptmpcreference_tpu.solvers.sqp import SQPOptions
+
+    N, dt = 32, 0.05
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    opts = SQPOptions(expected_reduction_min=-100.0, max_iter=12)
+    base = make_sqp(plant, cost, None, N, dt, method="S", options=opts)
+    mesh = make_mesh((8,), ("horizon",))
+    sharded = make_sqp(plant, cost, None, N, dt, method="S",
+                       options=opts, mesh=mesh)
+
+    x0 = jnp.zeros((4, N))
+    u0 = jnp.zeros((2, N - 1))
+    res_b = jax.jit(base.solve)(x0, u0)
+    res_s = jax.jit(sharded.solve)(x0, u0)
+    assert int(res_s.exit_sqp) == int(res_b.exit_sqp)
+    np.testing.assert_allclose(np.asarray(res_s.U), np.asarray(res_b.U),
+                               atol=1e-8)
+
+    # too few local rows for substructuring is a loud error
+    with pytest.raises(ValueError, match="3 local block rows"):
+        make_sqp(plant, cost, None, 16, dt, method="S", options=opts,
+                 mesh=mesh)

@@ -359,14 +359,12 @@ def btd_cyclic_reduction(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
     return x[:N]
 
 
-def btd_block_thomas(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
-    """Direct block-Thomas (block LU) solve, sequential over N via scan.
-
-    O(N bs^3) — the exact-solve workhorse for the Schur complement when PCG
-    is not requested (replaces the reference's dense np.linalg.solve of S,
-    ref: TrajoptMPCReference.py:432).
-    """
+def btd_block_thomas_multi(A: BlockTridiag, B: jnp.ndarray) -> jnp.ndarray:
+    """Block-Thomas with a stacked right-hand side B (N, bs, m) — the LU
+    factorization is shared across the m columns (used by the SPIKE-style
+    sharded exact solve, whose interior solves carry 2 bs + 1 RHS)."""
     N, bs = A.nblocks, A.bs
+    m = B.shape[-1]
     upper_pad = jnp.concatenate(
         [A.upper, jnp.zeros((1, bs, bs), dtype=A.diag.dtype)], axis=0)
 
@@ -376,18 +374,18 @@ def btd_block_thomas(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
         Dk, Uk, Lk, bk = inp  # Lk = A.upper[k-1]^T (garbage at k=0, masked)
         Dt = jnp.where(first, Dk, Dk - Lk @ Cprev)
         dt = jnp.where(first, bk, bk - Lk @ dprev)
-        sol = _solve_batched(Dt, jnp.concatenate([Uk, dt[:, None]], axis=1),
+        sol = _solve_batched(Dt, jnp.concatenate([Uk, dt], axis=1),
                              spd=True)
         Ck = sol[:, :bs]
-        dk = sol[:, bs]
+        dk = sol[:, bs:]
         return (Ck, dk, jnp.zeros((), bool)), (Ck, dk)
 
     lower_pad = jnp.concatenate(
         [jnp.zeros((1, bs, bs), dtype=A.diag.dtype),
          jnp.swapaxes(A.upper, 1, 2)], axis=0)
     init = (jnp.zeros((bs, bs), dtype=A.diag.dtype),
-            jnp.zeros((bs,), dtype=A.diag.dtype), jnp.ones((), bool))
-    _, (C, d) = jax.lax.scan(fwd, init, (A.diag, upper_pad, lower_pad, b))
+            jnp.zeros((bs, m), dtype=A.diag.dtype), jnp.ones((), bool))
+    _, (C, d) = jax.lax.scan(fwd, init, (A.diag, upper_pad, lower_pad, B))
 
     # back substitution: x_k = d_k - C_k x_{k+1}
     def bwd(x_next, inp):
@@ -396,6 +394,16 @@ def btd_block_thomas(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
         return xk, xk
 
     last = jnp.arange(N) == N - 1
-    _, xs = jax.lax.scan(bwd, jnp.zeros((bs,), dtype=A.diag.dtype),
+    _, xs = jax.lax.scan(bwd, jnp.zeros((bs, m), dtype=A.diag.dtype),
                          (C, d, last), reverse=True)
     return xs
+
+
+def btd_block_thomas(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct block-Thomas (block LU) solve, sequential over N via scan.
+
+    O(N bs^3) — the exact-solve workhorse for the Schur complement when PCG
+    is not requested (replaces the reference's dense np.linalg.solve of S,
+    ref: TrajoptMPCReference.py:432).
+    """
+    return btd_block_thomas_multi(A, b[..., None])[..., 0]

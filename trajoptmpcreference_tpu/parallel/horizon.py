@@ -33,6 +33,8 @@ from trajoptmpcreference_tpu.ops.btridiag import (
     _bmv,
     _bmv_T,
     _inv_blocks,
+    btd_block_thomas,
+    btd_block_thomas_multi,
 )
 
 
@@ -143,11 +145,85 @@ class ShardedPCGResult(NamedTuple):
     converged: jnp.ndarray
 
 
+def sharded_btd_exact(A: ShardedBTD, b: jnp.ndarray, ax: str) -> jnp.ndarray:
+    """Direct solve of the horizon-sharded block-tridiagonal system by
+    substructuring (the SPIKE / domain-decomposition algorithm):
+
+      1. each shard eliminates its L-2 INTERIOR block rows with one local
+         multi-RHS block-Thomas factorization (shared across the 2 bs + 1
+         right-hand sides: b plus the two interface coupling columns);
+      2. the surviving unknowns — each shard's first and last block rows —
+         form a reduced symmetric block-tridiagonal system of 2 P rows,
+         all_gather'd (tiny: 2 P bs^2 floats) and solved redundantly on
+         every shard with the sequential Thomas;
+      3. interior rows back-substitute locally.
+
+    One all_gather total; everything else is shard-local.  This is the
+    exact-solve (method "S") counterpart of sharded_pcg — same answer as
+    the replicated btd_block_thomas up to float reassociation.  Requires
+    L = N/P >= 3 local rows.
+    """
+    P = jax.lax.axis_size(ax)
+    L, bs = A.diag.shape[0], A.diag.shape[1]
+    if L < 3:
+        raise ValueError(
+            f"sharded_btd_exact needs >= 3 local block rows (got L = {L}); "
+            "use fewer shards or the PCG path")
+    dtype = A.diag.dtype
+    p = jax.lax.axis_index(ax)
+
+    # interior system: rows 1..L-2
+    A_int = BlockTridiag(A.diag[1:-1], A.upper[1:-1 - 1] if L > 3
+                         else jnp.zeros((0, bs, bs), dtype=dtype))
+    # RHS stack: [b_I | C0 | Cl] — C0 first block = upper[0]^T (coupling to
+    # x_0), Cl last block = upper[L-2] (coupling to x_{L-1})
+    nI = L - 2
+    Bst = jnp.zeros((nI, bs, 1 + 2 * bs), dtype=dtype)
+    Bst = Bst.at[:, :, 0].set(b[1:-1])
+    Bst = Bst.at[0, :, 1:1 + bs].set(A.upper[0].T)
+    Bst = Bst.at[-1, :, 1 + bs:].set(A.upper[L - 2])
+    sol = btd_block_thomas_multi(A_int, Bst)
+    yb = sol[:, :, 0]                       # A_II^-1 b_I        (nI, bs)
+    Y0 = sol[:, :, 1:1 + bs]                # A_II^-1 C0         (nI, bs, bs)
+    Yl = sol[:, :, 1 + bs:]                 # A_II^-1 Cl
+
+    # reduced interface rows for this shard:
+    #  row 0:   (Sd0 - U0 Y0[0]) x_0 + (-U0 Yl[0]) x_l
+    #           + upper_prev^T x_l^(p-1)               = b_0 - U0 yb[0]
+    #  row L-1: (-U_{L-2}^T Y0[-1]) x_0
+    #           + (Sd_{L-1} - U_{L-2}^T Yl[-1]) x_l
+    #           + U_{L-1} x_0^(p+1)                    = b_{L-1} - U^T yb[-1]
+    U0, Ul = A.upper[0], A.upper[L - 2]
+    d0 = A.diag[0] - U0 @ Y0[0]
+    dl = A.diag[-1] - Ul.T @ Yl[-1]
+    fill = -(U0 @ Yl[0])                    # x_0 <-> x_l within-shard block
+    r0 = b[0] - U0 @ yb[0]
+    rl = b[-1] - Ul.T @ yb[-1]
+
+    # reduced global system over (x_0^(0), x_l^(0), x_0^(1), ...):
+    # diag (2P), upper (2P-1): upper[2p] = fill_p, upper[2p+1] = U_{L-1}^(p)
+    red_diag = jax.lax.all_gather(
+        jnp.stack([d0, dl]), ax, tiled=True)                 # (2P, bs, bs)
+    red_upper_full = jax.lax.all_gather(
+        jnp.stack([fill, A.upper[L - 1]]), ax, tiled=True)   # (2P, bs, bs)
+    red_rhs = jax.lax.all_gather(jnp.stack([r0, rl]), ax,
+                                 tiled=True)                 # (2P, bs)
+    red = BlockTridiag(red_diag, red_upper_full[:-1])
+    z = btd_block_thomas(red, red_rhs)                       # (2P, bs)
+
+    x0 = jax.lax.dynamic_slice_in_dim(z, 2 * p, 1, 0)[0]
+    xl = jax.lax.dynamic_slice_in_dim(z, 2 * p + 1, 1, 0)[0]
+    x_int = yb - _bmv(Y0, jnp.broadcast_to(x0, (nI, bs))) \
+        - _bmv(Yl, jnp.broadcast_to(xl, (nI, bs)))
+    return jnp.concatenate([x0[None], x_int, xl[None]], axis=0)
+
+
 def sharded_schur_solve(E, F, rhs, D, G, g, guess, ax: str, *,
                         precond: str = "SS",
                         exit_tolerance: float = 1e-6,
                         max_iter: int = 100,
-                        relative: bool = False):
+                        relative: bool = False,
+                        exact: bool = False):
     """Horizon-sharded Schur-complement solve — the SQP integration point
     (ref: solveKKTSystem_Schur, TrajoptMPCReference.py:417-455), partitioned
     over the 'ax' mesh axis.
@@ -202,17 +278,24 @@ def sharded_schur_solve(E, F, rhs, D, G, g, guess, ax: str, *,
     gam = (rhsl - _bmv(Fl, _bmv(invGl, gl))
            - _bmv(El, _bmv(invG_prev, g_prev)))
 
-    res = sharded_pcg(S_sh, gam, ax, precond=precond, guess=guessl,
-                      exit_tolerance=exit_tolerance, max_iter=max_iter,
-                      relative=relative)
-    lam_l = res.x
+    if exact:
+        # method "S": direct substructured solve (sharded_btd_exact)
+        lam_l = sharded_btd_exact(S_sh, gam, ax)
+        iters = jnp.array(0)
+        converged = jnp.array(True)
+    else:
+        res = sharded_pcg(S_sh, gam, ax, precond=precond, guess=guessl,
+                          exit_tolerance=exit_tolerance, max_iter=max_iter,
+                          relative=relative)
+        lam_l = res.x
+        iters, converged = res.iters, res.converged
     # dxu_k = invG_k (g_k - F_k^T lam_k - E_{k+1}^T lam_{k+1})
     _, lam_right = _halo_exchange(lam_l, ax)
     lam_next = jnp.concatenate([lam_l[1:], lam_right[None]], axis=0)
     dxu_l = _bmv(invGl, gl - _bmv_T(Fl, lam_l) - _bmv_T(E_next, lam_next))
     dxu = jax.lax.all_gather(dxu_l, ax, tiled=True)
     lam = jax.lax.all_gather(lam_l, ax, tiled=True)
-    return dxu, lam, res.iters, res.converged
+    return dxu, lam, iters, converged
 
 
 def sharded_pcg(A: ShardedBTD, b: jnp.ndarray, ax: str,

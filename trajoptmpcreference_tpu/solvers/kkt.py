@@ -395,7 +395,8 @@ class KKTSystem:
                             pcg_max_iter: int = 100,
                             precond: str = "SS",
                             guess: Optional[jnp.ndarray] = None,
-                            pcg_relative: bool = False):
+                            pcg_relative: bool = False,
+                            exact: bool = False):
         """Horizon-sharded Schur solve: the per-knot inverse/assembly work
         and the PCG iterations are partitioned over ``axis`` of ``mesh``
         (parallel.horizon.sharded_schur_solve), with the KKT blocks
@@ -416,7 +417,8 @@ class KKTSystem:
             return sharded_schur_solve(
                 E, F, rhs, D, G, g, guess, axis,
                 precond=precond, exit_tolerance=pcg_tol,
-                max_iter=pcg_max_iter, relative=pcg_relative)
+                max_iter=pcg_max_iter, relative=pcg_relative,
+                exact=exact)
 
         rep = PartitionSpec()
         dxu, lam, iters, converged = jax.shard_map(

@@ -199,13 +199,16 @@ class SQPSolver:
             return dxu, lam, jnp.array(0), singular
         use_pcg = self.method.startswith("PCG")
         precond = self.method[4:] if use_pcg else "SS"
-        if self.mesh is not None and use_pcg:
+        if self.mesh is not None:
+            # horizon-sharded Schur: PCG (halo matvecs) or, for method
+            # "S", the SPIKE-style substructured exact solve
             dxu, lam, stats = self.kkt.solve_schur_sharded(
                 blocks, rho, self.mesh, self.horizon_axis,
                 pcg_tol=self.options.exit_tolerance_linSys,
                 pcg_max_iter=self.options.max_iter_linSys,
                 precond=precond, guess=guess,
-                pcg_relative=self.options.pcg_relative)
+                pcg_relative=self.options.pcg_relative,
+                exact=not use_pcg)
             return dxu, lam, stats.pcg_iters, jnp.array(False)
         dxu, lam, stats = self.kkt.solve_schur(
             blocks, rho, use_pcg=use_pcg,
@@ -532,9 +535,12 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     ref: TrajoptMPCReference.py:29-42,510).  ``method`` accepts a string or
     a SQPSolverMethods enum member.
 
-    mesh + horizon_axis: run the Schur/PCG phase horizon-sharded over the
-    named mesh axis (requires a PCG method and N divisible by the axis
-    size).  use_pallas_pcg: run the Schur PCG as the fused on-chip Pallas
+    mesh + horizon_axis: run the Schur phase horizon-sharded over the
+    named mesh axis — PCG methods iterate with ppermute-halo matvecs;
+    method "S" uses the SPIKE substructured exact solve
+    (parallel.horizon.sharded_btd_exact; needs >= 3 local block rows).
+    N must divide by the axis size.
+    use_pallas_pcg: run the Schur PCG as the fused on-chip Pallas
     kernel (ops/pallas_pcg; interpreter off-TPU).  exact_schur: for
     method "S", pick the exact block-tridiagonal solver — "thomas"
     (sequential scan) or "cr" (block cyclic reduction, log2(N) batched
@@ -555,14 +561,18 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
                     use_pallas_pcg=use_pallas_pcg, exact_schur=exact_schur)
     if mesh is not None:
-        if not method.startswith("PCG"):
+        if method == "N":
             raise ValueError(
-                "horizon sharding requires a PCG method (the block-Thomas "
-                "and dense solves are sequential over the horizon)")
-        if N % mesh.shape[horizon_axis]:
+                "horizon sharding requires a Schur method: PCG-* (halo "
+                "matvec iterations) or S (SPIKE substructured exact solve)")
+        P = mesh.shape[horizon_axis]
+        if N % P:
             raise ValueError(
-                f"N={N} must divide by the horizon axis size "
-                f"{mesh.shape[horizon_axis]}")
+                f"N={N} must divide by the horizon axis size {P}")
+        if method == "S" and N // P < 3:
+            raise ValueError(
+                f"the sharded exact solve needs >= 3 local block rows "
+                f"(N={N}, shards={P}); use fewer shards or a PCG method")
     return SQPSolver(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
                      method=method, options=options, kkt=kkt,
                      mesh=mesh, horizon_axis=horizon_axis)
