@@ -25,13 +25,20 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def episode_errors(ctrl, plant, cost, x0s, goals_np, steps):
+def episode_errors(ctrl, plant, cost, x0s, goals_np, steps, ctrl_cold=None,
+                   cold_steps=0):
     import jax
     import jax.numpy as jnp
     cps = jax.vmap(lambda g: cost.default_params._replace(xg=g))(
         jnp.asarray(goals_np, jnp.float32))
-    run = jax.jit(jax.vmap(lambda x0, cp: ctrl.run(x0, steps=steps,
-                                                   cost_params=cp)))
+    if ctrl_cold is not None and steps > cold_steps:
+        from trajoptmpcreference_tpu.solvers.mpc import run_scheduled
+        phases = [(ctrl_cold, cold_steps), (ctrl, steps - cold_steps)]
+        run = jax.jit(jax.vmap(
+            lambda x0, cp: run_scheduled(phases, x0, cost_params=cp)))
+    else:
+        run = jax.jit(jax.vmap(lambda x0, cp: ctrl.run(x0, steps=steps,
+                                                       cost_params=cp)))
     res = run(x0s, cps)
     q_traj = res.X_applied[:, :plant.nq, :]          # (B, nq, steps)
     ee = jax.vmap(jax.vmap(lambda q: plant.kinematics.ee_pos_xyz(q)[:2],
@@ -49,6 +56,12 @@ def main():
 
     B, N, steps = 512, 64, 150
     plant, cost, ctrl = _flagship_mpc(N=N)
+    # the bench default's front-loaded cold phase (BENCH_COLD_STEPS=8)
+    cold_steps = int(os.environ.get("UNSTABLE_COLD_STEPS", "8"))
+    ctrl_cold = None
+    if cold_steps:
+        _, _, ctrl_cold = _flagship_mpc(N=N, max_iter=8, alpha_min=0.005,
+                                        alpha_factor=0.5)
     nx = plant.nx
 
     rng = np.random.default_rng(0)                    # bench.py's seed
@@ -57,7 +70,8 @@ def main():
         np.array([3.0, 2.0, 0.0]) + 0.3 * rng.standard_normal((B, 3)) * [1, 1, 0],
         np.zeros((B, 3))], axis=1)
 
-    err_t = episode_errors(ctrl, plant, cost, x0s, goals_np, steps)
+    err_t = episode_errors(ctrl, plant, cost, x0s, goals_np, steps,
+                           ctrl_cold=ctrl_cold, cold_steps=cold_steps)
     final = err_t[:, -1]
     bad = ~(np.isfinite(final) & (final < 1.0))
     idx = np.nonzero(bad)[0]
@@ -87,14 +101,18 @@ def main():
                  "late values = tracked then lost it.\n")
 
     # budget probe: same scenarios, 6 SQP iters + 9-rung ladder
-    _, _, ctrl_big = _flagship_mpc(N=N, max_iter=6, alpha_min=0.005)
-    xb = x0s[idx]
-    gb = goals_np[idx]
-    err_big = episode_errors(ctrl_big, plant, cost, xb, gb, steps)
-    fixed = (np.isfinite(err_big[:, -1]) & (err_big[:, -1] < 1.0))
-    lines.append("## Solver-budget probe (6 SQP iters, 9-rung ladder)\n")
-    lines.append(f"fixed {int(fixed.sum())}/{len(idx)}; final errors "
-                 f"{err_big[:, -1].round(3).tolist()}\n")
+    if len(idx):
+        _, _, ctrl_big = _flagship_mpc(N=N, max_iter=6, alpha_min=0.005)
+        xb = x0s[idx]
+        gb = goals_np[idx]
+        err_big = episode_errors(ctrl_big, plant, cost, xb, gb, steps)
+        fixed = (np.isfinite(err_big[:, -1]) & (err_big[:, -1] < 1.0))
+        lines.append("## Solver-budget probe (6 SQP iters, 9-rung ladder)\n")
+        lines.append(f"fixed {int(fixed.sum())}/{len(idx)}; final errors "
+                     f"{err_big[:, -1].round(3).tolist()}\n")
+    else:
+        lines.append("## Solver-budget probe\n")
+        lines.append("skipped: no unstable scenarios at this config.\n")
 
     # f64-CPU probe of the same scenarios would need the CPU backend; the
     # closedloop_eval harness covers that cross-check on its fixed 16.
