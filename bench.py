@@ -117,6 +117,11 @@ def main():
                                               "0.005")),
             "alpha_factor": float(os.environ.get("BENCH_COLD_ALPHA_FACTOR",
                                                  "0.5")),
+            # the cold phase ALWAYS line-searches: BENCH_RTI_ALPHA targets
+            # the steady-state controller only (round-3 forensics: RTI
+            # diverges exactly in the cold transient the deep ladder fixes)
+            "ls_fixed_alpha": float(os.environ.get("BENCH_COLD_RTI_ALPHA",
+                                                   "0.0")),
         }
         _, _, ctrl_cold = _flagship_mpc(N=N, use_pallas=use_pallas,
                                         use_pallas_pcg=use_pallas_pcg,
@@ -133,16 +138,26 @@ def main():
     cps = jax.vmap(lambda g: cost.default_params._replace(xg=g))(goals)
 
     def episode(nsteps):
-        if ctrl_warm is not None and nsteps > cold_steps:
+        # clamp the schedule to short runs: with nsteps <= cold_steps the
+        # COLD controller runs the whole episode (the documented schedule's
+        # prefix), rather than silently measuring the steady config alone
+        nc = min(cold_steps, nsteps)
+        if ctrl_warm is not None and nc > 0:
             from trajoptmpcreference_tpu.solvers.mpc import run_scheduled
-            phases = [(ctrl, cold_steps), (ctrl_warm, nsteps - cold_steps)]
+            phases = [(ctrl, nc)] + (
+                [(ctrl_warm, nsteps - nc)] if nsteps > nc else [])
             run = lambda x0, cp: run_scheduled(phases, x0, cost_params=cp)
-        elif ctrl_cold is not None and nsteps > cold_steps:
+        elif ctrl_cold is not None and nc > 0:
             from trajoptmpcreference_tpu.solvers.mpc import run_scheduled
-            phases = [(ctrl_cold, cold_steps), (ctrl, nsteps - cold_steps)]
+            phases = [(ctrl_cold, nc)] + (
+                [(ctrl, nsteps - nc)] if nsteps > nc else [])
             run = lambda x0, cp: run_scheduled(phases, x0, cost_params=cp)
         else:
             run = lambda x0, cp: ctrl.run(x0, steps=nsteps, cost_params=cp)
+        if 0 < nsteps <= cold_steps:
+            print(f"# note: nsteps={nsteps} <= BENCH_COLD_STEPS="
+                  f"{cold_steps}; cold config runs the whole episode",
+                  file=sys.stderr)
         return jax.jit(jax.vmap(run), static_argnums=()), nsteps
 
     # ---- headline throughput + tracking quality (one long episode)
@@ -197,12 +212,37 @@ def main():
             lats.append(((t2 - t1) - (t1 - t0)) / (s2 - s1))
         return float(np.median(lats) * 1e3)    # ms, p50 over reps
 
+    budget_ms = ctrl.solver.dt * 1e3 if hasattr(ctrl, "solver") else 15.0
+    frontier_b = -1
+    frontier_ms = float("nan")
     if os.environ.get("BENCH_LATENCY", "1") == "1":
         p50_b1_ms = step_latency(1)
         p50_bb_ms = step_latency(B)
+        # ---- real-time frontier: max batch whose p50 step fits the budget
+        # (BASELINE's deployment metric).  Probe a coarse grid between the
+        # largest batch known under budget and the smallest known over it;
+        # each probe costs two episode compiles, so the grid stays small.
+        if os.environ.get("BENCH_FRONTIER", "1") == "1":
+            probes = {1: p50_b1_ms, B: p50_bb_ms}
+            grid = [b for b in (64, 128, 256, 384) if 1 < b < B]
+            lo = max(b for b, v in probes.items() if v <= budget_ms) \
+                if any(v <= budget_ms for v in probes.values()) else 0
+            hi = min((b for b, v in probes.items() if v > budget_ms),
+                     default=B + 1)
+            for b in grid:
+                if not (lo < b < hi):
+                    continue
+                probes[b] = step_latency(b)
+                if probes[b] <= budget_ms:
+                    lo = max(lo, b)
+                else:
+                    hi = min(hi, b)
+            under = {b: v for b, v in probes.items() if v <= budget_ms}
+            if under:
+                frontier_b = max(under)
+                frontier_ms = under[frontier_b]
     else:                         # A/B throughput runs skip the extra compiles
         p50_b1_ms = p50_bb_ms = float("nan")
-    budget_ms = ctrl.solver.dt * 1e3 if hasattr(ctrl, "solver") else 15.0
 
     _m = knobs.get("method", "S")
     method_label = (_m if _m.startswith("PCG")
@@ -210,12 +250,16 @@ def main():
     quality = (f"median EE err {med_err:.3f} m from "
                f"{float(np.median(dist0)):.1f} m, {int(stable.sum())}/{B} "
                f"stable<1m" + ("" if gate_ok else " QUALITY-GATE-FAILED"))
+    frontier = ("" if frontier_b < 0 else
+                f"; real-time frontier B*={frontier_b} "
+                f"({frontier_ms:.2f} ms p50 <= budget)")
     print(json.dumps({
         "metric": (f"6-DoF arm N={N} warm-started SQP-{method_label} "
                    f"MPC solves/s/chip "
                    f"({backend}, B={B}, {steps}-step episodes, {quality}; "
                    f"p50 step latency {p50_b1_ms:.2f} ms @B=1 / "
-                   f"{p50_bb_ms:.2f} ms @B={B} vs {budget_ms:.1f} ms budget)"),
+                   f"{p50_bb_ms:.2f} ms @B={B} vs {budget_ms:.1f} ms "
+                   f"budget{frontier})"),
         "value": round(solves_per_s, 2),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / 625.0, 4),

@@ -74,14 +74,17 @@ def _oracle_pinv(Ad: np.ndarray, bs: int, ptype: str) -> np.ndarray:
 
 
 def _oracle_pcg(Ad, bd, Pinvd, tol, max_iter):
-    """Dense PCG with the reference's loop order and absolute nu exit
-    (ref: PCG.py:66-111).  Returns (x, nu_trace, iters)."""
+    """Dense PCG with the reference's loop order, absolute nu exit, and
+    DUAL trace — nu history plus the true residual |b - A x| recomputed
+    from x each iteration (ref: PCG.py:66-111, trace2 at :83,95).
+    Returns (x, nu_trace, res_trace, iters)."""
     x = np.zeros_like(bd)
     r = bd - Ad @ x
     rt = Pinvd @ r
     p = rt
     nu = r @ rt
     trace = [abs(nu)]
+    trace2 = [np.linalg.norm(bd - Ad @ x)]
     iters = 0
     for _ in range(max_iter):
         Ap = Ad @ p
@@ -91,12 +94,13 @@ def _oracle_pcg(Ad, bd, Pinvd, tol, max_iter):
         rt = Pinvd @ r
         nu_prime = r @ rt
         trace.append(abs(nu_prime))
+        trace2.append(np.linalg.norm(bd - Ad @ x))
         iters += 1
         if abs(nu_prime) < tol:
             break
         p = rt + (nu_prime / nu) * p
         nu = nu_prime
-    return x, np.array(trace), iters
+    return x, np.array(trace), np.array(trace2), iters
 
 
 # ----------------------------------------------------------------- tests
@@ -135,8 +139,9 @@ def test_pcg_iterate_trace_parity(ptype):
     nblocks, bs, tol, max_iter = 7, 4, 1e-10, 60
     A, b = _random_btd(nblocks, bs, seed=3)
     Pinv = preconditioner(A, ptype)
-    res = pcg(A, b, Pinv, exit_tolerance=tol, max_iter=max_iter)
-    x_o, trace_o, iters_o = _oracle_pcg(
+    res = pcg(A, b, Pinv, exit_tolerance=tol, max_iter=max_iter,
+              trace_residual=True)
+    x_o, trace_o, res_trace_o, iters_o = _oracle_pcg(
         _dense(A), np.asarray(b).ravel(),
         _oracle_pinv(_dense(A), bs, ptype), tol, max_iter)
     assert int(res.iters) == iters_o
@@ -144,6 +149,9 @@ def test_pcg_iterate_trace_parity(ptype):
                                rtol=1e-9, atol=1e-12)
     ours_trace = np.asarray(res.nu_trace)[:iters_o + 1]
     np.testing.assert_allclose(ours_trace, trace_o, rtol=1e-9)
+    # the TRUE-residual history (reference trace2) matches the NumPy port
+    ours_res = np.asarray(res.res_trace)[:iters_o + 1]
+    np.testing.assert_allclose(ours_res, res_trace_o, rtol=1e-8, atol=1e-14)
     # and it actually solved the system (nu ~ |r|^2: tol 1e-10 => |r| ~ 1e-5)
     resid = np.asarray(b - btd_matvec(A, res.x))
     assert np.max(np.abs(resid)) < 1e-4

@@ -202,6 +202,40 @@ def test_sharded_exact_matches_thomas(mesh8):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
 
 
+def test_sharded_exact_matches_thomas_f32(mesh8):
+    """f32 parity of the SPIKE path on a WELL-conditioned SPD system —
+    the flagship runs this solver in f32, where the ill-conditioned
+    cold-start QPs only admit residual-based comparison; this test pins
+    the solver itself (not the QP) so f32 regressions in
+    sharded_btd_exact are caught directly (ADVICE r3)."""
+    from trajoptmpcreference_tpu.ops.btridiag import btd_block_thomas
+    from trajoptmpcreference_tpu.parallel.horizon import (
+        ShardedBTD,
+        sharded_btd_exact,
+    )
+
+    N, bs = 32, 4
+    A64 = _random_spd_btd(N, bs)
+    A = BlockTridiag(jnp.asarray(A64.diag, jnp.float32),
+                     jnp.asarray(A64.upper, jnp.float32))
+    b = jnp.asarray(np.random.default_rng(5).standard_normal((N, bs)),
+                    jnp.float32)
+    x_ref = btd_block_thomas(A, b)
+    sh = shard_btd(A, 8)
+
+    def f(diag, upper, uprev, bl):
+        return sharded_btd_exact(ShardedBTD(diag, upper, uprev), bl,
+                                 "horizon")
+
+    spec = P("horizon")
+    x = jax.jit(jax.shard_map(
+        f, mesh=mesh8, in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False))(sh.diag, sh.upper, sh.upper_prev, b)
+    assert x.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
 def test_horizon_sharded_exact_sqp_matches_unsharded():
     """FULL SQP solve with method 'S' horizon-sharded (the flagship's exact
     Schur method, solved by SPIKE substructuring across the mesh) vs the

@@ -56,6 +56,40 @@ def test_trace_is_vmappable():
     assert (np.asarray(tr.exit_code) == 1).all()
 
 
+def test_trace_linsys_dual_trace():
+    """trace_linsys=True surfaces the PCG dual trace (|nu| + true residual
+    histories, the reference's (trace, trace2) — ref: PCG.py:82-95) per SQP
+    iteration, and the histories are consistent: both decrease to the exit
+    and the true residual at the exit iteration is small."""
+    plant = URDFPlant(robot=serial_arm(2))
+    cost = UrdfCost(plant, jnp.eye(4), 100.0 * jnp.eye(4), 0.1 * jnp.eye(2),
+                    jnp.array([0.5, 1.5, 0.0, 0.0]))
+    solver = make_sqp(plant, cost, None, 10, 0.1, method="PCG-SS",
+                      options=SQPOptions(expected_reduction_min=-100.0,
+                                         max_iter=8, max_iter_linSys=40,
+                                         exit_tolerance_linSys=1e-10,
+                                         trace_linsys=True))
+    x0 = jnp.zeros((4, 10))
+    u0 = jnp.zeros((2, 9))
+    X, U, tr = jax.jit(lambda a, b: solve_traced(solver, a, b))(x0, u0)
+    assert tr.pcg_nu.shape == (8, 41)
+    assert tr.pcg_resid.shape == (8, 41)
+    it0_pcg = int(np.asarray(tr.pcg_iters)[0])
+    assert it0_pcg > 0
+    nu = np.asarray(tr.pcg_nu)[0]
+    resid = np.asarray(tr.pcg_resid)[0]
+    # nu at the exit met the tolerance; true residual shrank with it
+    assert nu[it0_pcg] < 1e-10
+    assert resid[it0_pcg] < 1e-4 * max(resid[0], 1.0)
+    # untraced solver produces the same iterates (the trace is pure output)
+    plain = make_sqp(plant, cost, None, 10, 0.1, method="PCG-SS",
+                     options=SQPOptions(expected_reduction_min=-100.0,
+                                        max_iter=8, max_iter_linSys=40,
+                                        exit_tolerance_linSys=1e-10))
+    res = jax.jit(plain.solve)(x0, u0)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(res.U), atol=1e-10)
+
+
 def test_cost_analysis_reports_flops():
     plant = PendulumPlant()
     cost = QuadraticCost(jnp.eye(2), jnp.eye(2), jnp.eye(1),

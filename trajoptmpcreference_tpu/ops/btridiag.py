@@ -210,12 +210,16 @@ class PCGResult(NamedTuple):
     iters: jnp.ndarray        # scalar int
     nu_trace: jnp.ndarray     # (max_iter+1,) |r^T Pinv r| history (0-padded)
     converged: jnp.ndarray    # bool
+    # (max_iter+1,) TRUE residual |b - A x| history, recomputed from x per
+    # iteration when trace_residual=True (the reference's dual trace,
+    # ref: PCG.py:82-95 trace2) — None in the untraced hot path
+    res_trace: Optional[jnp.ndarray] = None
 
 
 def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
         guess: Optional[jnp.ndarray] = None,
         exit_tolerance: float = 1e-6, max_iter: int = 100,
-        relative: bool = False) -> PCGResult:
+        relative: bool = False, trace_residual: bool = False) -> PCGResult:
     """Preconditioned conjugate gradient on a block-tridiagonal system.
 
     Loop semantics match the reference (ref: PCG.py:66-111): nu = r^T Pinv r,
@@ -226,6 +230,11 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
     absolute test — scale-invariant, essential in f32 when residual norms
     range over many decades (an absolute 1e-4 exit produces garbage
     directions at |gamma| ~ 1e6 and the SQP line search wedges).
+
+    trace_residual: also record the TRUE residual |b - A x| per iteration
+    (recomputed from x, one extra matvec per iteration — the reference's
+    trace2, ref: PCG.py:83,95), exposing f32 recursion-residual drift.
+    Off by default; the hot path never pays the matvec.
     """
     dtype = b.dtype
     x0 = jnp.zeros_like(b) if guess is None else guess
@@ -234,6 +243,8 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
     p0 = rt0
     nu0 = jnp.vdot(r0, rt0)
     trace0 = jnp.zeros(max_iter + 1, dtype=dtype).at[0].set(jnp.abs(nu0))
+    rtrace0 = (jnp.zeros(max_iter + 1, dtype=dtype)
+               .at[0].set(jnp.linalg.norm(r0)) if trace_residual else None)
     thr = (exit_tolerance * jnp.abs(nu0) if relative
            else jnp.asarray(exit_tolerance, dtype))
     # already-converged warm start: without this the first iteration divides
@@ -244,11 +255,11 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
     done0 = jnp.abs(nu0) <= thr
 
     def cond(state):
-        _, _, _, nu, it, done, _ = state
+        _, _, _, nu, it, done, _, _ = state
         return (~done) & (it < max_iter)
 
     def body(state):
-        x, r, p, nu, it, done, trace = state
+        x, r, p, nu, it, done, trace, rtrace = state
         Ap = btd_matvec(A, p)
         pAp = jnp.vdot(p, Ap)
         alpha = nu / jnp.where(pAp != 0, pAp, 1.0)
@@ -257,14 +268,18 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
         rt = btd_matvec(Pinv, r_new)
         nu_new = jnp.vdot(r_new, rt)
         trace = trace.at[it + 1].set(jnp.abs(nu_new))
+        if trace_residual:
+            true_r = jnp.linalg.norm(b - btd_matvec(A, x_new))
+            rtrace = rtrace.at[it + 1].set(true_r)
         done_new = jnp.abs(nu_new) <= thr
         beta = nu_new / nu
         p_new = rt + beta * p
-        return (x_new, r_new, p_new, nu_new, it + 1, done_new, trace)
+        return (x_new, r_new, p_new, nu_new, it + 1, done_new, trace, rtrace)
 
-    init = (x0, r0, p0, nu0, jnp.array(0), done0, trace0)
-    x, r, p, nu, it, done, trace = jax.lax.while_loop(cond, body, init)
-    return PCGResult(x=x, iters=it, nu_trace=trace, converged=done)
+    init = (x0, r0, p0, nu0, jnp.array(0), done0, trace0, rtrace0)
+    x, r, p, nu, it, done, trace, rtrace = jax.lax.while_loop(cond, body, init)
+    return PCGResult(x=x, iters=it, nu_trace=trace, converged=done,
+                     res_trace=rtrace)
 
 
 def btd_solve_dense(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:

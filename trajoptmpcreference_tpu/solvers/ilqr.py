@@ -170,6 +170,15 @@ class ILQRSolver:
         which composes to the same Quu = Huu + rho I + B'Vxx B the
         sequential pass regularizes (same modified problem, not an
         approximation).
+
+        PD precondition (stronger than the sequential pass): the element
+        build Cholesky-factorizes Huu + rho I per stage, so it requires
+        the STAGE control Hessian itself to be PD, while ``backward``
+        only needs the full Quu = Huu + rho I + B'Vxx B.  For costs with
+        PSD-only stage control Hessians (e.g. R = 0 on some inputs) this
+        path flags ``bad`` and escalates rho where the sequential pass
+        would succeed — the two backends then take different iterate
+        paths.  Use ``backward`` (parallel_riccati=False) for such costs.
         """
         nx, nu = self.plant.nx, self.plant.nu
         dtype = A.dtype

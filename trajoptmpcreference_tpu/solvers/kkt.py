@@ -62,6 +62,12 @@ class KKTBlocks(NamedTuple):
 class SchurSolveStats(NamedTuple):
     pcg_iters: jnp.ndarray
     pcg_converged: jnp.ndarray
+    # per-iteration PCG dual trace (the reference's (trace, trace2),
+    # ref: GBD-PCG-Python/PCG.py:82-95): |nu| and TRUE |gamma - S lam|
+    # histories, (max_iter+1,) — populated only when solve_schur is called
+    # with trace_residual=True on the XLA PCG path; None otherwise
+    nu_trace: Optional[jnp.ndarray] = None
+    res_trace: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,9 +361,12 @@ class KKTSystem:
                     pcg_max_iter: int = 100,
                     precond: str = "SS",
                     guess: Optional[jnp.ndarray] = None,
-                    pcg_relative: bool = False):
+                    pcg_relative: bool = False,
+                    trace_residual: bool = False):
         """Schur-complement solve, exact (block-Thomas) or PCG
-        (ref: TrajoptMPCReference.py:361-455)."""
+        (ref: TrajoptMPCReference.py:361-455).  trace_residual: carry the
+        PCG dual trace (|nu| + true residual histories) in the stats —
+        XLA PCG path only (one extra matvec per iteration)."""
         split = self._can_split_schur()
         if split:
             S, gam, iGxx, iGuu = self._schur_blocks_split(blocks, rho)
@@ -375,9 +384,12 @@ class KKTSystem:
                 Pinv = preconditioner(S, precond)
                 res = pcg(S, gam, Pinv, guess=guess,
                           exit_tolerance=pcg_tol, max_iter=pcg_max_iter,
-                          relative=pcg_relative)
+                          relative=pcg_relative,
+                          trace_residual=trace_residual)
                 lam = res.x
-                stats = SchurSolveStats(res.iters, res.converged)
+                stats = SchurSolveStats(res.iters, res.converged,
+                                        nu_trace=res.nu_trace,
+                                        res_trace=res.res_trace)
         else:
             if self.exact_schur == "cr":
                 lam = btd_cyclic_reduction(S, gam)

@@ -99,6 +99,11 @@ class SQPOptions:
     ls_fixed_alpha: float = 0.0
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
+    # carry the PCG dual trace (|nu| + TRUE residual |gamma - S lam|
+    # histories, the reference's (trace, trace2) — ref: PCG.py:82-95) in
+    # the QP stats; surfaced per SQP iteration by utils.trace.solve_traced.
+    # Costs one extra matvec per PCG iteration — analysis only.
+    trace_linsys: bool = False
 
 
 class SQPResult(NamedTuple):
@@ -194,9 +199,11 @@ class SQPSolver:
         return self.solve_qp_from_blocks(blocks, rho, guess)
 
     def solve_qp_from_blocks(self, blocks, rho, guess):
+        from trajoptmpcreference_tpu.solvers.kkt import SchurSolveStats
         if self.method == "N":
             dxu, lam, singular = self.kkt.solve_dense(blocks, rho)
-            return dxu, lam, jnp.array(0), singular
+            return dxu, lam, SchurSolveStats(jnp.array(0),
+                                             jnp.array(True)), singular
         use_pcg = self.method.startswith("PCG")
         precond = self.method[4:] if use_pcg else "SS"
         if self.mesh is not None:
@@ -209,15 +216,16 @@ class SQPSolver:
                 precond=precond, guess=guess,
                 pcg_relative=self.options.pcg_relative,
                 exact=not use_pcg)
-            return dxu, lam, stats.pcg_iters, jnp.array(False)
+            return dxu, lam, stats, jnp.array(False)
         dxu, lam, stats = self.kkt.solve_schur(
             blocks, rho, use_pcg=use_pcg,
             pcg_tol=self.options.exit_tolerance_linSys,
             pcg_max_iter=self.options.max_iter_linSys,
             precond=precond,
             guess=guess if use_pcg else None,
-            pcg_relative=self.options.pcg_relative)
-        return dxu, lam, stats.pcg_iters, jnp.array(False)
+            pcg_relative=self.options.pcg_relative,
+            trace_residual=self.options.trace_linsys)
+        return dxu, lam, stats, jnp.array(False)
 
     # ----------------------------------------------------------- line search
     def merit_weight(self, J0, c0):
@@ -372,7 +380,7 @@ class SQPSolver:
         from the solver it traces."""
         o = self.options
         blocks = self.kkt.form_blocks(X, U, xs, cost_params, cstate)
-        dxu, lam, pcg_iters, singular = self.solve_qp_from_blocks(
+        dxu, lam, qp_stats, singular = self.solve_qp_from_blocks(
             blocks, rho, guess)
         # with ls_grad_at_base the acceptance test's directional derivative
         # is the KKT gradient (already formed) dotted with the step — once,
@@ -414,7 +422,7 @@ class SQPSolver:
         exit_code = jnp.where(hit_max & (exit_code == 0),
                               EXIT_MAX_ITER, exit_code)
         return (X1, U1, J1, c1, merit1, rho1, drho1, exit_code, lam,
-                ls, pcg_iters, singular)
+                ls, qp_stats, singular)
 
     # ------------------------------------------------------------ SQP loop
     def sqp_round(self, X, U, xs, cost_params, cstate, guess0=None):

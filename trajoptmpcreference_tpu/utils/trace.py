@@ -40,6 +40,12 @@ class SQPTrace(NamedTuple):
     live: jnp.ndarray         # (max_iter,) bool row corresponds to a real iter
     exit_code: jnp.ndarray    # scalar
     iters: jnp.ndarray        # scalar
+    # PCG dual trace per SQP iteration, (max_iter, max_iter_linSys+1) —
+    # |nu| and TRUE residual |gamma - S lam| histories (the reference's
+    # (trace, trace2), ref: GBD-PCG-Python/PCG.py:82-95).  Populated only
+    # when options.trace_linsys is set on a PCG method; None otherwise.
+    pcg_nu: Any = None
+    pcg_resid: Any = None
 
 
 def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
@@ -76,6 +82,10 @@ def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
         guess: jnp.ndarray
         trace: Any
 
+    with_linsys = (o.trace_linsys and solver.method.startswith("PCG")
+                   and solver.mesh is None
+                   and not solver.kkt.use_pallas_pcg)
+    lin_shape = (max_iter, o.max_iter_linSys + 1)
     trace0 = SQPTrace(
         J=jnp.zeros(max_iter, dtype), c=jnp.zeros(max_iter, dtype),
         merit=jnp.zeros(max_iter, dtype), alpha=jnp.zeros(max_iter, dtype),
@@ -83,19 +93,28 @@ def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
         reduction_ratio=jnp.zeros(max_iter, dtype),
         pcg_iters=jnp.zeros(max_iter, jnp.int32),
         accepted=jnp.zeros(max_iter, bool), live=jnp.zeros(max_iter, bool),
-        exit_code=jnp.array(0), iters=jnp.array(0))
+        exit_code=jnp.array(0), iters=jnp.array(0),
+        pcg_nu=jnp.zeros(lin_shape, dtype) if with_linsys else None,
+        pcg_resid=jnp.zeros(lin_shape, dtype) if with_linsys else None)
 
     def body(it, s: S) -> S:
         # the single shared iteration body (SQPSolver.sqp_iterate) — the
         # trace CANNOT drift from the solver it traces
         (X1, U1, J1, c1, merit1, rho1, drho1, exit_code, lam,
-         ls, pcg_iters, singular) = solver.sqp_iterate(
+         ls, qp_stats, singular) = solver.sqp_iterate(
             s.X, s.U, s.J, s.c, s.merit, s.rho, s.drho, s.guess,
             mu, xs, cost_params, cstate, it == max_iter - 1)
+        pcg_iters = qp_stats.pcg_iters
         live = ~s.done
         accepted = ls.accepted & live
         newly_done = live & (exit_code > 0)
         tr = s.trace
+        if with_linsys:
+            tr = tr._replace(
+                pcg_nu=tr.pcg_nu.at[it].set(
+                    jnp.where(live, qp_stats.nu_trace, tr.pcg_nu[it])),
+                pcg_resid=tr.pcg_resid.at[it].set(
+                    jnp.where(live, qp_stats.res_trace, tr.pcg_resid[it])))
         tr = tr._replace(
             J=tr.J.at[it].set(jnp.where(live, J1, tr.J[it])),
             c=tr.c.at[it].set(jnp.where(live, c1, tr.c[it])),
