@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--integrator", type=int, default=1)
     ap.add_argument("--pcg-iters", type=int, default=40)
     ap.add_argument("--pcg-tol", type=float, default=1e-4)
+    ap.add_argument("--torque-limit", type=float, default=0.0,
+                    help="> 0: box-limit u in the solver (constrained "
+                    "flagship variant; ref: examples/pendulum.py:17-24)")
+    ap.add_argument("--torque-mode", default="AUGMENTED_LAGRANGIAN",
+                    choices=["AUGMENTED_LAGRANGIAN", "QUADRATIC_PENALTY",
+                             "ACTIVE_SET", "FULL_SET"])
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
 
@@ -67,7 +73,8 @@ def main():
         N=args.N, max_iter=args.max_iter, dtype=dtype,
         vel_weight=args.vel_weight, r_weight=args.r_weight,
         qf_weight=args.qf_weight, integrator_type=args.integrator,
-        pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol)
+        pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
+        torque_limit=args.torque_limit, torque_mode=args.torque_mode)
     nx = plant.nx
     B = args.scenarios
 
@@ -96,6 +103,17 @@ def main():
     med_stable = float(np.median(err[stable])) if stable.any() else float("nan")
     exit_codes = np.asarray(res.exit_codes)  # (B, steps)
 
+    # applied-torque stats: peak per scenario (sizes a meaningful limit
+    # for the constrained variant) and, when limited, the max violation of
+    # the APPLIED controls — the physical gate, not the solver's own
+    # internal feasibility number
+    u_abs = np.abs(np.asarray(res.U_applied))           # (B, nu, steps)
+    u_peak = u_abs.max(axis=(1, 2))
+    viol = (float(np.maximum(u_abs - args.torque_limit, 0.0).max())
+            if args.torque_limit > 0 else 0.0)
+    u_sat_frac = (float((u_abs >= 0.999 * args.torque_limit).mean())
+                  if args.torque_limit > 0 else 0.0)
+
     print(json.dumps({
         "tag": args.tag,
         "dtype": args.dtype,
@@ -107,6 +125,12 @@ def main():
         "finite": int(finite.sum()),
         "median_err_all": round(med_all, 4),
         "median_err_stable": round(med_stable, 4),
+        "torque_limit": args.torque_limit,
+        "torque_mode": args.torque_mode if args.torque_limit > 0 else None,
+        "u_peak_median": round(float(np.median(u_peak)), 3),
+        "u_peak_max": round(float(u_peak.max()), 3),
+        "max_violation": round(viol, 5),
+        "u_at_limit_frac": round(u_sat_frac, 4),
         "errors": [round(float(e), 3) for e in err],
         "exit_code_hist": {str(k): int(v) for k, v in
                            zip(*np.unique(exit_codes, return_counts=True))},

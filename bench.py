@@ -83,6 +83,8 @@ def main():
         knobs["ls_grad_at_base"] = os.environ["BENCH_LS_GRAD_BASE"] == "1"
     if "BENCH_RTI_ALPHA" in os.environ:      # >0 = RTI fixed-step mode
         knobs["ls_fixed_alpha"] = float(os.environ["BENCH_RTI_ALPHA"])
+    if "BENCH_RTI_LEAN" in os.environ:       # 1 = skip merit/exit metrics
+        knobs["rti_lean"] = os.environ["BENCH_RTI_LEAN"] == "1"
     if "BENCH_PARALLEL_LS" in os.environ:    # 1 = one-pass alpha ladder
         knobs["parallel_ls"] = os.environ["BENCH_PARALLEL_LS"] == "1"
     if "BENCH_PALLAS_FD" in os.environ:      # 1 = fused fd in LS rollout

@@ -112,3 +112,36 @@ def test_rti_carried_totals_consistent():
     res = jax.jit(rti.solve)(x0, u0)
     J_direct = float(rti.total_cost(res.X, res.U, rti.cost.default_params, ()))
     assert abs(float(res.J) - J_direct) < 1e-8 * max(1.0, abs(J_direct))
+
+
+def test_rti_lean_matches_full_rti_iterates():
+    """Lean RTI (rti_lean: no merit/exit metrics at all) takes exactly the
+    same steps as metric-carrying RTI — the metrics never influence the
+    fixed-alpha update — so with early exit disabled the two produce
+    identical U after the same iteration budget."""
+    robot = serial_arm(3)
+    plant = URDFPlant(robot=robot, integrator_type=1)
+    nu = plant.nu
+    N = 10
+    cost = UrdfCost(
+        plant,
+        jnp.diag(jnp.asarray([1.0, 1.0, 1.0, 0.1, 0.1, 0.1])),
+        100.0 * jnp.eye(6),
+        0.01 * jnp.eye(nu),
+        jnp.asarray([1.5, 1.0, 0.0, 0.0, 0.0, 0.0]),
+    )
+    base = dict(expected_reduction_min=-100.0, exit_tolerance=0.0,
+                max_iter=4, ls_fixed_alpha=1.0)
+    full = make_sqp(plant, cost, None, N, 0.05, method="S",
+                    options=SQPOptions(**base))
+    lean = make_sqp(plant, cost, None, N, 0.05, method="S",
+                    options=SQPOptions(**base, rti_lean=True))
+    x0 = jnp.zeros((plant.nx, N))
+    u0 = jnp.zeros((nu, N - 1))
+    rf = jax.jit(full.solve)(x0, u0)
+    rl = jax.jit(lean.solve)(x0, u0)
+    np.testing.assert_allclose(np.asarray(rl.U), np.asarray(rf.U),
+                               atol=1e-12, rtol=0)
+    assert int(rl.sqp_iters) == int(rf.sqp_iters)
+    # lean never computes metrics: carried J is the zero placeholder
+    assert float(rl.J) == 0.0

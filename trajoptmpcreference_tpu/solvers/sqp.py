@@ -97,6 +97,16 @@ class SQPOptions:
     # merit test provides must come from the MPC loop instead (each step
     # re-solves from the measured state).  0.0 = off.
     ls_fixed_alpha: float = 0.0
+    # lean RTI: with ls_fixed_alpha > 0, ALSO skip every merit/exit
+    # metric — no total_cost, no total_violation, no cost-diff pass; the
+    # solve runs exactly max_iter iterations of (form KKT blocks -> QP
+    # solve -> fixed-step axpy) and exits on the iteration budget alone.
+    # This is textbook RTI (one linearize+QP per control step at
+    # max_iter=1).  SQPResult.J / .viol are then 0 (never computed) and
+    # exit_sqp is always EXIT_MAX_ITER; quality must be judged from the
+    # closed loop (tracking error), which is how the MPC bench gates
+    # anyway.  Ignored when ls_fixed_alpha == 0.
+    rti_lean: bool = False
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
     # carry the PCG dual trace (|nu| + TRUE residual |gamma - S lam|
@@ -289,11 +299,19 @@ class SQPSolver:
         dtype = X.dtype
         if o.ls_fixed_alpha > 0:
             # real-time iteration: one unconditional step, no acceptance
-            # test — dJ / c_new still computed (carried state + exit test);
-            # the directional derivative is skipped unless already in hand
+            # test — dJ / c_new still computed (carried state + exit test)
+            # unless rti_lean skips all metrics; the directional
+            # derivative is skipped unless already in hand
             alpha = jnp.asarray(o.ls_fixed_alpha, dtype)
             Xc = X - alpha * dX
             Uc = U - alpha * dU
+            if o.rti_lean:
+                zero = jnp.zeros((), dtype)
+                return LS(alpha=alpha, done=jnp.array(True),
+                          accepted=jnp.array(True), ls_iter=jnp.array(0),
+                          Xc=Xc, Uc=Uc, dJ=zero, J_new=J, c_new=c,
+                          merit_new=merit, D=zero,
+                          ratio=jnp.ones((), dtype))
             dJ = self.total_cost_diff(X, U, Xc, Uc, cost_params, cstate)
             c_new = self.total_violation(Xc, Uc, xs)
             D = D_base if D_base is not None else jnp.zeros((), dtype)
@@ -406,7 +424,11 @@ class SQPSolver:
         # line-search difference, not a subtraction of carried totals
         delta_J = -ls.dJ
         exit_code = jnp.where(error & (rho1 > o.rho_max), EXIT_RHO_MAX, 0)
-        if o.ls_fixed_alpha > 0:
+        if o.ls_fixed_alpha > 0 and o.rti_lean:
+            # lean RTI computes no metrics: the iteration budget is the
+            # only exit (hit_max below)
+            tol_hit = jnp.array(False)
+        elif o.ls_fixed_alpha > 0:
             # RTI accepts unconditionally, so an early iteration can
             # INCREASE the cost (delta_J < 0) — that is progress toward
             # feasibility, not convergence; only a small |delta_J| is
@@ -430,9 +452,14 @@ class SQPSolver:
         Returns (X, U, exit_code, iters, J, c, lam)."""
         o = self.options
         dtype = X.dtype
-        J0 = self.total_cost(X, U, cost_params, cstate)
-        c0 = self.total_violation(X, U, xs)
-        mu = self.merit_weight(J0, c0)
+        if o.ls_fixed_alpha > 0 and o.rti_lean:
+            # lean RTI never consumes J/c/merit — skip the initial rollout
+            J0 = c0 = jnp.zeros((), dtype)
+            mu = jnp.asarray(10.0, dtype)
+        else:
+            J0 = self.total_cost(X, U, cost_params, cstate)
+            c0 = self.total_violation(X, U, xs)
+            mu = self.merit_weight(J0, c0)
         merit0 = J0 + mu * c0
         if guess0 is None:
             guess0 = jnp.zeros((self.N, self.kkt.bs), dtype=dtype)
