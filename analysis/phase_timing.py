@@ -128,6 +128,38 @@ def main():
 
         return jnp.sum(jax.vmap(one)(X + t * eps, U, dxu0, xs))
 
+    # split the exact-Schur phase: assembly (blocks -> S, gamma) vs the CR
+    # solve on a prebuilt operator — locates the XLA-glue share
+    S0, gam0, _, _ = jax.vmap(
+        lambda b, r: solver.kkt._schur_blocks_split(b, r))(blocks0, rho)
+
+    def phase_schur_assembly(t):
+        perturbed = blocks0._replace(g=blocks0.g + t * eps)
+        S, gam, iGxx, iGuu = jax.vmap(
+            lambda b, r: solver.kkt._schur_blocks_split(b, r))(perturbed, rho)
+        return jnp.sum(gam[:, 0, 0])
+
+    def phase_cr_only(t):
+        from trajoptmpcreference_tpu.ops.btridiag import btd_cyclic_reduction
+        lam = jax.vmap(btd_cyclic_reduction)(
+            S0._replace(diag=S0.diag + t * eps), gam0)
+        return jnp.sum(lam[:, 0, 0])
+
+    # lean-RTI iterate: form blocks + QP solve + fixed-step axpy, no
+    # line search and no merit metrics — the floor of one SQP iteration
+    import dataclasses as _dc
+    lean_solver = _dc.replace(
+        solver, options=_dc.replace(o, ls_fixed_alpha=1.0, rti_lean=True))
+
+    def phase_iterate_lean(t):
+        out = jax.vmap(
+            lambda x, u, J, c, m, r, d, g, w, x0, p, cs:
+            lean_solver.sqp_iterate(x, u, J, c, m, r, d, g, w, x0, p, cs,
+                                    jnp.array(False)))(
+            X + t * eps, U, J0, c0, merit0, rho,
+            jnp.ones((B,), dtype), guess, mu, xs, cp, cstate)
+        return jnp.sum(out[0][:, 0, 0])
+
     def phase_iterate(t):
         out = jax.vmap(
             lambda x, u, J, c, m, r, d, g, w, x0, p, cs:
@@ -149,6 +181,9 @@ def main():
         "line search": phase_line_search,
         "ls cost-diff half (K rungs)": phase_ls_cost_diff,
         "ls violation half (K rungs, fd rollout)": phase_ls_violation,
+        "schur assembly only (blocks -> S, gamma)": phase_schur_assembly,
+        "cr solve only (prebuilt S)": phase_cr_only,
+        "sqp_iterate lean-RTI (form + QP + axpy)": phase_iterate_lean,
         "sqp_iterate (QP + LS + schedules)": phase_iterate,
         f"full solve ({o.max_iter} iters, cold)": phase_solve,
     }

@@ -79,9 +79,13 @@ def main():
         f.write(f"# Weak scaling ({backend}), flagship 6-DoF N={N} solve, "
                 f"{per_dev} scenarios/device\n\n")
         if backend != "tpu":
-            f.write("CAVEAT: virtual CPU devices share physical cores; "
-                    "this validates the harness + sharding, not chip "
-                    "scaling (see module docstring).\n\n")
+            f.write(f"CAVEAT: virtual CPU devices share "
+                    f"{os.cpu_count()} physical cores; the efficiency "
+                    "ceiling past that point is host-compute "
+                    "oversubscription, not sharding overhead — this "
+                    "validates the harness + sharding (no replicated "
+                    "compute), not chip scaling (see module "
+                    "docstring).\n\n")
         f.write("| devices | batch | solves/s | weak efficiency |\n"
                 "|---|---|---|---|\n")
         for r in rows:

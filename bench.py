@@ -85,6 +85,11 @@ def main():
         knobs["ls_fixed_alpha"] = float(os.environ["BENCH_RTI_ALPHA"])
     if "BENCH_RTI_LEAN" in os.environ:       # 1 = skip merit/exit metrics
         knobs["rti_lean"] = os.environ["BENCH_RTI_LEAN"] == "1"
+    if "BENCH_RTI_CLIP" in os.environ:       # RTI trust-region step clip
+        knobs["rti_step_clip"] = float(os.environ["BENCH_RTI_CLIP"])
+    if "BENCH_RHO" in os.environ:            # Levenberg damping floor
+        knobs["rho_init"] = float(os.environ["BENCH_RHO"])
+        knobs["rho_min"] = float(os.environ["BENCH_RHO"])
     if "BENCH_PARALLEL_LS" in os.environ:    # 1 = one-pass alpha ladder
         knobs["parallel_ls"] = os.environ["BENCH_PARALLEL_LS"] == "1"
     if "BENCH_PALLAS_FD" in os.environ:      # 1 = fused fd in LS rollout

@@ -182,6 +182,7 @@ def test_cyclic_reduction_matches_dense_solve(nblocks):
     np.testing.assert_allclose(x.reshape(-1), xd, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_cyclic_reduction_matches_block_thomas_batched():
     """vmapped CR == vmapped Thomas on a batch of quasi-definite systems
     shaped like the SQP Schur complement (mixed-sign diagonal)."""
@@ -261,6 +262,7 @@ def test_inv_psd_split_matches_dense(monkeypatch):
     np.testing.assert_allclose(got, np.linalg.inv(G), rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_split_schur_matches_generic():
     """The structure-exploiting Schur assembly (_schur_blocks_split +
     _recover_dxu_split, used when m == 0 and the cost is separable) builds

@@ -4,6 +4,7 @@ unchanged (zero iterations), not divide 0/0 (found as NaN blowup in
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trajoptmpcreference_tpu.ops.btridiag import (
     BlockTridiag,
@@ -12,6 +13,8 @@ from trajoptmpcreference_tpu.ops.btridiag import (
     preconditioner,
 )
 
+
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
 
 def test_exact_warm_start_no_nan():
     rng = np.random.default_rng(0)

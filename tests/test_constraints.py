@@ -188,6 +188,7 @@ def test_terminal_joint_violation_drives_updates():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_active_set_chatter_knobs():
     """Active-set chatter: with reference-parity settings (strict
     margin<0 activation, no feasibility term in EXIT_TOL) a tight torque

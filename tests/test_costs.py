@@ -59,6 +59,7 @@ def test_gradient_matches_autodiff(plant):
     np.testing.assert_allclose(np.asarray(g[:4]), np.asarray(g_ad), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_hessian_modes(plant_plain):
     plant = plant_plain
     p = UrdfCost(plant, Q, QF, R, XG).default_params

@@ -26,6 +26,8 @@ from trajoptmpcreference_tpu.solvers.ilqr import make_ilqr
 from trajoptmpcreference_tpu.solvers.sqp import SQPOptions, make_sqp
 
 
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
+
 def test_pendulum_swing_up():
     """(config per ref: examples/pendulum.py:13-16)."""
     plant = PendulumPlant()

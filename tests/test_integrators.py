@@ -23,8 +23,10 @@ TYPES = [0, 1, 2, 3, 4]   # euler, semi-implicit, midpoint, rk3, rk4
 
 
 @pytest.mark.parametrize("itype", TYPES)
-@pytest.mark.parametrize("make", [PendulumPlant, CartPolePlant,
-                                  lambda **kw: URDFPlant(robot=serial_arm(2), **kw)])
+@pytest.mark.parametrize("make", [
+    PendulumPlant, CartPolePlant,
+    pytest.param(lambda **kw: URDFPlant(robot=serial_arm(2), **kw),
+                 id="urdf2", marks=pytest.mark.slow)])
 def test_step_gradient_matches_autodiff(itype, make):
     plant = make(integrator_type=itype)
     rng = np.random.default_rng(itype)

@@ -43,6 +43,7 @@ def test_fd_grad_lanes_matches(setup):
                                    atol=1e-10)
 
 
+@pytest.mark.slow
 def test_custom_vmap_folding(setup):
     """Single, vmapped, and nested-vmapped calls all agree (lane folding)."""
     robot, rbd, q, qd, u = setup
@@ -73,6 +74,7 @@ def test_custom_vmap_folding(setup):
                 atol=1e-10)
 
 
+@pytest.mark.slow
 def test_pallas_fd_grad_interpret():
     """The fused Pallas fd_grad kernel (interpreter mode on CPU; the
     compiled path is validated on real TPU) matches the XLA lanes path to
@@ -107,6 +109,7 @@ def test_pallas_fd_interpret():
     assert rel < 1e-4
 
 
+@pytest.mark.slow
 def test_task_vec_plain_and_lanes():
     """task_vec = [ee_pos_k; J qd] in one frames pass must equal the
     separate ee_pos + jacobian calls, in both plain and lanes kinematics,

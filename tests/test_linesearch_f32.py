@@ -30,6 +30,8 @@ from trajoptmpcreference_tpu import (
 )
 
 
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
+
 def _problem(weight_scale=1.0, dtype=jnp.float64, N=16, max_iter=12):
     robot = serial_arm(6)
     plant = URDFPlant(robot=robot)

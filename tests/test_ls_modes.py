@@ -17,6 +17,7 @@ trial.  Two variants trade that for speed:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trajoptmpcreference_tpu import (
     SQPOptions,
@@ -26,6 +27,8 @@ from trajoptmpcreference_tpu import (
     serial_arm,
 )
 
+
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
 
 def _solver(opts_kwargs, N=12, dtype=jnp.float64):
     robot = serial_arm(3)

@@ -17,6 +17,8 @@ from trajoptmpcreference_tpu import (
 from trajoptmpcreference_tpu.solvers.mpc import _shift_plan
 
 
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
+
 def _pendulum_ctrl(method, cset=None):
     plant = PendulumPlant()
     cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),

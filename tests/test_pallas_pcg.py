@@ -15,6 +15,8 @@ from trajoptmpcreference_tpu.ops.btridiag import (
 from trajoptmpcreference_tpu.ops.pallas_pcg import make_batched_pcg
 
 
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
+
 def _random_spd_btd(N, bs, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     diag = rng.standard_normal((N, bs, bs))

@@ -31,6 +31,8 @@ from trajoptmpcreference_tpu.solvers.costs import QuadraticCost
 from trajoptmpcreference_tpu.solvers.sqp import make_sqp
 
 
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
+
 def _random_spd_btd(N, bs, seed=0):
     rng = np.random.default_rng(seed)
     diag = rng.standard_normal((N, bs, bs))

@@ -158,6 +158,7 @@ def test_native_cross_check(robot, state):
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sqp_solve_rpr(robot):
     """End-to-end: task-space SQP on the R-P-R arm converges and reaches."""
     import trajoptmpcreference_tpu as tmr

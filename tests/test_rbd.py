@@ -206,6 +206,7 @@ def test_jacobian_tot_state_structure():
     np.testing.assert_allclose(Jt, J_auto, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_vmap_batching():
     robot = serial_arm(3)
     rbd = make_rbd(robot)
@@ -218,6 +219,7 @@ def test_vmap_batching():
     np.testing.assert_allclose(batched, single, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_geometric_kinematics_match_autodiff():
     """The geometric J / dJdq recursions vs a jax.jacfwd oracle (the
     autodiff path OOMs on TPU at scale; the geometric path must match it)."""
@@ -234,6 +236,7 @@ def test_geometric_kinematics_match_autodiff():
                                    np.asarray(dJ_ad), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_d2jdq2_matches_autodiff():
     """Exact d2J/dq2 vs double-jacfwd oracle (reference only has the 2-link
     shortcut, ref: RBDReference.py:273-315)."""

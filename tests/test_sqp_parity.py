@@ -37,6 +37,8 @@ from trajoptmpcreference_tpu.models.urdf import serial_arm
 from trajoptmpcreference_tpu.solvers.costs import UrdfCost
 from trajoptmpcreference_tpu.solvers.sqp import make_sqp, SQPOptions
 
+pytestmark = pytest.mark.slow  # full-solver integration: jit-compiles whole SQP/MPC loops
+
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 N, DT = 10, 0.1

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trajoptmpcreference_tpu import (
     PendulumPlant,
@@ -25,6 +26,7 @@ def _arm_solver():
                                        max_iter=30))
 
 
+@pytest.mark.slow
 def test_trace_matches_untraced_solve():
     solver = _arm_solver()
     x0 = jnp.zeros((4, 10))
@@ -45,6 +47,7 @@ def test_trace_matches_untraced_solve():
     assert acc[:-1].all()  # this problem accepts every step until exit
 
 
+@pytest.mark.slow
 def test_trace_is_vmappable():
     solver = _arm_solver()
     B = 3
@@ -56,6 +59,7 @@ def test_trace_is_vmappable():
     assert (np.asarray(tr.exit_code) == 1).all()
 
 
+@pytest.mark.slow
 def test_trace_linsys_dual_trace():
     """trace_linsys=True surfaces the PCG dual trace (|nu| + true residual
     histories, the reference's (trace, trace2) — ref: PCG.py:82-95) per SQP

@@ -235,16 +235,22 @@ class KKTSystem:
         M = N * bs
         E, F, rhs, D = self._EF(blocks)
         G = self._regularized_G(blocks, rho)
-        KKT = jnp.zeros((T + M, T + M), dtype=dtype)
-        for k in range(N):
-            KKT = KKT.at[k * n:(k + 1) * n, k * n:(k + 1) * n].set(G[k])
-            r0 = T + k * bs
-            KKT = KKT.at[r0:r0 + bs, k * n:(k + 1) * n].set(F[k])
-            KKT = KKT.at[k * n:(k + 1) * n, r0:r0 + bs].set(F[k].T)
-            if k > 0:
-                KKT = KKT.at[r0:r0 + bs, (k - 1) * n:k * n].set(E[k])
-                KKT = KKT.at[(k - 1) * n:k * n, r0:r0 + bs].set(E[k].T)
-            KKT = KKT.at[jnp.arange(r0, r0 + bs), jnp.arange(r0, r0 + bs)].set(D[k])
+        # vectorized block assembly — three batched scatters instead of an
+        # O(N) Python loop of .at[].set (which unrolled to N compile-time
+        # scatter ops and dominated the method-"N" compile at N=64)
+        ar = jnp.arange(N)
+        Gxx = jnp.zeros((N, N, n, n), dtype=dtype).at[ar, ar].set(G)
+        Gxx = jnp.moveaxis(Gxx, 2, 1).reshape(T, T)      # (N,n,N,n) -> (T,T)
+        # constraint jacobian rows: F on the diagonal, E one block left
+        C_blk = jnp.zeros((N, N, bs, n), dtype=dtype).at[ar, ar].set(F)
+        C_blk = C_blk.at[ar[1:], ar[:-1]].set(E[1:])
+        Cmat = jnp.moveaxis(C_blk, 2, 1).reshape(M, T)   # (N,bs,N,n) -> (M,T)
+        KKT = jnp.concatenate([
+            jnp.concatenate([Gxx, Cmat.T], axis=1),
+            jnp.concatenate([Cmat, jnp.zeros((M, M), dtype=dtype)], axis=1),
+        ], axis=0)
+        dj = jnp.arange(T, T + M)
+        KKT = KKT.at[dj, dj].set(D.reshape(-1))
         kkt = jnp.concatenate([blocks.g.reshape(-1), rhs.reshape(-1)])
         sol = jnp.linalg.solve(KKT, kkt)
         # lstsq fallback on singular systems (ref: :353-357)

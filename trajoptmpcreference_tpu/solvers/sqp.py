@@ -107,6 +107,18 @@ class SQPOptions:
     # closed loop (tracking error), which is how the MPC bench gates
     # anyway.  Ignored when ls_fixed_alpha == 0.
     rti_lean: bool = False
+    # RTI trust-region clip: with ls_fixed_alpha > 0, rescale the applied
+    # step so max|alpha dU| <= rti_step_clip (one reduction; metric-free,
+    # so it composes with rti_lean).  Replaces the stabilizing feedback
+    # RTI removes: in the line-searched path a garbage QP direction (the
+    # f32 Schur solve near-singular at low rho) is REJECTED by the merit
+    # test and rho escalates x4; RTI applies every direction, so one bad
+    # solve ends the episode (measured: flagship steady-state RTI at any
+    # alpha in {1, 0.5, 0.316} diverges on the first bad step at
+    # rho = 1e-3, 0/512 stable).  The clip bounds the damage to one
+    # clipped step while leaving warm steady-state steps (far below any
+    # sensible clip) exactly at fixed alpha.  inf = off.
+    rti_step_clip: float = float("inf")
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
     # carry the PCG dual trace (|nu| + TRUE residual |gamma - S lam|
@@ -303,6 +315,12 @@ class SQPSolver:
             # unless rti_lean skips all metrics; the directional
             # derivative is skipped unless already in hand
             alpha = jnp.asarray(o.ls_fixed_alpha, dtype)
+            if math.isfinite(o.rti_step_clip):
+                # scale stays on the QP ray: one factor for dX and dU
+                du_max = alpha * jnp.max(jnp.abs(dU))
+                alpha = alpha * jnp.minimum(
+                    jnp.ones((), dtype),
+                    o.rti_step_clip / jnp.maximum(du_max, 1e-30))
             Xc = X - alpha * dX
             Uc = U - alpha * dU
             if o.rti_lean:
