@@ -252,7 +252,7 @@ def main():
         p50_b1_ms = p50_bb_ms = float("nan")
 
     _m = knobs.get("method", "S")
-    method_label = (_m if _m.startswith("PCG")
+    method_label = (_m if _m.startswith("PCG") or _m == "iLQR"
                     else f"{_m}/{knobs.get('exact_schur', 'cr')}")
     quality = (f"median EE err {med_err:.3f} m from "
                f"{float(np.median(dist0)):.1f} m, {int(stable.sum())}/{B} "

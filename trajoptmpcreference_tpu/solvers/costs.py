@@ -213,8 +213,13 @@ def UrdfCost(plant: Plant, Q, QF, R, xg, QF_start: Optional[int] = None,
             Jt = _jt(q, qd)
             return (cQ @ Jt).T @ Jt
         elif hess_mode == 1:
-            # autodiff path: must use the plain kinematics (custom_vmap
-            # lanes wrappers recurse under jvp — see ops/lanes.py)
+            # EXACT Hessian — an ORACLE mode for validation, not a batched
+            # production path: the autodiff must use the plain per-sample
+            # kinematics (custom_vmap lanes wrappers recurse under jvp —
+            # see ops/lanes.py), so under vmap at bench batch sizes this
+            # falls off the lanes fast path entirely.  The flagship uses
+            # hess_mode=0 (Gauss-Newton); select 1 only to cross-check it
+            # (ref: TrajoptCost.py:391 'exact' column of the grid).
             kp = kin.plain
 
             def grad_plain(xx):
