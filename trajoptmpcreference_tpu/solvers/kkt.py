@@ -84,15 +84,19 @@ class KKTSystem:
     # blocks resident in VMEM instead of ~6 XLA kernels + HBM round-trips
     # per iteration.  Off-TPU this transparently runs the interpreter.
     #
-    # Measured at the flagship config (150-step B=512 MPC bench): +4.4%
-    # throughput (2229 vs 2135 solves/s) but DEGRADED closed-loop tracking
-    # (median EE err 3.36 m vs 0.18 m).  Root cause: VMEM forces bf16
-    # preconditioner storage, whose noise floor keeps the kernel's exit
-    # metric from ever firing — every solve overruns to max_iter and f32
-    # CG stagnation wanders the iterate, while the XLA path's nu-metric
-    # early exits (iters 7-29) deliver better search directions.  Kept
-    # opt-in OFF until the kernel fits an f32 preconditioner (or gains a
-    # reliable stagnation-stop); the default XLA path wins end-to-end.
+    # Measured (round 4, 150-step B=512 MPC bench, PCG-SS 4 iters): the
+    # fused kernel beats the XLA loop end-to-end — 13,737 vs 10,774
+    # solves/s (+27.5%) at BETTER tracking (421 vs 375 stable, 0.359 vs
+    # 0.505 m median).  Two round-3 fixes made this true: the bf16
+    # preconditioner's noise floor no longer poisons the exit metric
+    # (true-residual exit when pdiag dtype != operand dtype, see
+    # ops/pallas_pcg._pcg_kernel), and the round-4 axon compiler fixed
+    # the memory-space-assignment CHECK failure that blocked nesting the
+    # kernel in the MPC graph (bench_history_r2.md bisection;
+    # bench_history_r4.md finding 8).  Library default stays False for
+    # portability (off-TPU this would run the interpreter); the bench
+    # turns it on for TPU PCG runs.  The flagship still solves exactly
+    # (method "S"/cr) — PCG is the long-horizon / sharded alternative.
     use_pallas_pcg: bool = False
     # exact Schur solver for the non-PCG path (method "S"):
     #   "thomas" — sequential block LU scan (O(N) dependency chain);
