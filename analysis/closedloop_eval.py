@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--torque-mode", default="AUGMENTED_LAGRANGIAN",
                     choices=["AUGMENTED_LAGRANGIAN", "QUADRATIC_PENALTY",
                              "ACTIVE_SET", "FULL_SET", "ACTIVE_SET+AL"])
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the Pallas fd/task kernels (fault "
+                    "scoping on TPU)")
     ap.add_argument("--cold-steps", type=int, default=0,
                     help="> 0: the bench's iteration schedule — a deep "
                     "cold phase (--cold-iters x deep ladder) for the "
@@ -74,8 +77,10 @@ def main():
     from __graft_entry__ import _flagship_mpc
 
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    pk = ({"use_pallas": False, "use_pallas_fd": False,
+           "use_pallas_task": False} if args.no_pallas else {})
     plant, cost, ctrl = _flagship_mpc(
-        N=args.N, max_iter=args.max_iter, dtype=dtype,
+        N=args.N, max_iter=args.max_iter, dtype=dtype, **pk,
         vel_weight=args.vel_weight, r_weight=args.r_weight,
         qf_weight=args.qf_weight, integrator_type=args.integrator,
         pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
@@ -83,7 +88,7 @@ def main():
     ctrl_cold = None
     if args.cold_steps > 0:
         _, _, ctrl_cold = _flagship_mpc(
-            N=args.N, max_iter=args.cold_iters, dtype=dtype,
+            N=args.N, max_iter=args.cold_iters, dtype=dtype, **pk,
             alpha_min=0.005, alpha_factor=0.5,
             vel_weight=args.vel_weight, r_weight=args.r_weight,
             qf_weight=args.qf_weight, integrator_type=args.integrator,

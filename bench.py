@@ -252,6 +252,12 @@ def main():
             if under:
                 frontier_b = max(under)
                 frontier_ms = under[frontier_b]
+            # batch-scaling table (stderr; the JSON line stays single):
+            # p50 step latency and implied solves/s at each probed batch
+            for b in sorted(probes):
+                print(f"# batch-scaling: B={b} p50_step_ms={probes[b]:.3f} "
+                      f"solves/s={b / probes[b] * 1e3:.0f}",
+                      file=sys.stderr)
     else:                         # A/B throughput runs skip the extra compiles
         p50_b1_ms = p50_bb_ms = float("nan")
 
