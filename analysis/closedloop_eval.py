@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--scenarios", type=int, default=16)
+    ap.add_argument("--scenario-offset", type=int, default=0,
+                    help="slice [offset:offset+B] of the seed-0 scenario "
+                    "stream — split a big set into chunks whose smaller "
+                    "compiled graph dodges the r4 TPU compiler crash "
+                    "(bench_history_r4.md finding 14)")
+    ap.add_argument("--scenario-total", type=int, default=0,
+                    help="size of the full scenario stream the chunks "
+                    "slice (default offset+scenarios); set it to the big "
+                    "set's size on EVERY chunk so the draws match")
     ap.add_argument("--N", type=int, default=64)
     ap.add_argument("--max-iter", type=int, default=5)
     ap.add_argument("--stable-below", type=float, default=1.0)
@@ -97,12 +106,18 @@ def main():
     nx = plant.nx
     B = args.scenarios
 
-    # fixed scenario set (same seed across dtypes => identical scenarios)
+    # fixed scenario set (same seed across dtypes => identical scenarios);
+    # with an offset, draw the FULL stream then slice, so chunked runs
+    # cover exactly the scenarios one big run would
     rng = np.random.default_rng(0)
-    x0s = jnp.asarray(0.1 * rng.standard_normal((B, nx)), dtype=dtype)
-    goals_np = np.concatenate([
-        np.array([3.0, 2.0, 0.0]) + 0.3 * rng.standard_normal((B, 3)) * [1, 1, 0],
-        np.zeros((B, 3))], axis=1)
+    Btot = args.scenario_total or (args.scenario_offset + B)
+    o = args.scenario_offset
+    x0s_np = 0.1 * rng.standard_normal((Btot, nx))
+    goals_all = np.concatenate([
+        np.array([3.0, 2.0, 0.0]) + 0.3 * rng.standard_normal((Btot, 3)) * [1, 1, 0],
+        np.zeros((Btot, 3))], axis=1)
+    x0s = jnp.asarray(x0s_np[o:o + B], dtype=dtype)
+    goals_np = goals_all[o:o + B]
     goals = jnp.asarray(goals_np, dtype=dtype)
     cps = jax.vmap(lambda g: cost.default_params._replace(xg=g))(goals)
 

@@ -140,7 +140,9 @@ def main():
     nx = plant.nx
     dtype = jnp.float32
 
-    rng = np.random.default_rng(0)
+    # scenario-distribution seed (robustness-margin studies; the headline
+    # uses seed 0 — same scenarios every round, so rates are comparable)
+    rng = np.random.default_rng(int(os.environ.get("BENCH_SEED", "0")))
     x0s = jnp.asarray(0.1 * rng.standard_normal((B, nx)), dtype=dtype)
     goals_np = np.concatenate([
         np.array([3.0, 2.0, 0.0]) + 0.3 * rng.standard_normal((B, 3)) * [1, 1, 0],
@@ -195,6 +197,11 @@ def main():
     stable = finite & (err < 1.0)
     med_err = float(np.median(np.where(finite, err, np.inf)))
     gate_ok = med_err < 0.25 * float(np.median(dist0))
+    # stability-margin curve (stderr): the 1 m threshold is arbitrary —
+    # show how the stable count moves with it (knife-edge diagnostics)
+    for thr in (0.1, 0.25, 0.5, 1.0, 2.0):
+        print(f"# stable-threshold: err<{thr} m -> "
+              f"{int((finite & (err < thr)).sum())}/{B}", file=sys.stderr)
 
     # ---- p50 per-step latency via scan-step slope, B=1 and headline B
     def step_latency(batch):
