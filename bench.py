@@ -109,11 +109,14 @@ def main():
     # carries the solve.  0 = uniform budget.  (Round 2 tested the inverse
     # schedule — cheap steady state — and rejected it: warm 2-iter steps
     # drift.  BENCH_WARM_SQP_ITERS reproduces that experiment.)
-    # default: cold = 8 steps x 8 iters x 9-rung ladder, steady = the
-    # _flagship 3-iter/3-rung config — measured 16554 solves/s @ 512/512
-    # stable (150 steps) and 17874 @ 512/512, 0.006 m median (300 steps),
-    # vs the round-2 uniform defaults' 16405 @ 502/512.  0 disables.
-    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "8"))
+    # default: cold = 4 steps x 4 iters x 9-rung ladder, steady = the
+    # _flagship 3-iter/3-rung config.  Round-4 sweep (bench_history_r4.md
+    # finding 16): the round-3 8x6 cold phase was over-budgeted on the
+    # round-4 compiler — descending the (steps x iters) grid found 4x4 at
+    # 18,832 solves/s with seed triplet 512/508/510 of 512 stable vs the
+    # 8x6 default's 17,435 @ 510/509/510 (same robustness band, +8%);
+    # 4x3 drops seed 1 to 504 (rejected), 6x3 to 508.  0 disables.
+    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "4"))
     ctrl_cold = ctrl_warm = None
     if cold_steps > 0 and "BENCH_WARM_SQP_ITERS" in os.environ:
         warm_iters = int(os.environ["BENCH_WARM_SQP_ITERS"])
@@ -123,7 +126,7 @@ def main():
     elif cold_steps > 0:
         cold_knobs = {
             **knobs,
-            "max_iter": int(os.environ.get("BENCH_COLD_SQP_ITERS", "6")),
+            "max_iter": int(os.environ.get("BENCH_COLD_SQP_ITERS", "4")),
             "alpha_min": float(os.environ.get("BENCH_COLD_ALPHA_MIN",
                                               "0.005")),
             "alpha_factor": float(os.environ.get("BENCH_COLD_ALPHA_FACTOR",

@@ -65,10 +65,44 @@ def _near_converged_point(solver, plant, dtype):
 WEIGHT = 1e4
 
 
-def test_total_cost_diff_f32_accuracy():
+@pytest.fixture(scope="module")
+def wbase():
+    """Shared heavy setup for the WEIGHT-scaled problem: both-precision
+    solvers + ONE near-converged point (a full f64 solve) — the tests
+    below only evaluate cheap functions at it."""
     _, _, sol64 = _problem(WEIGHT, jnp.float64)
     plant, _, sol32 = _problem(WEIGHT, jnp.float32)
     X64, U64 = _near_converged_point(sol64, plant, jnp.float64)
+    return plant, sol64, sol32, X64, U64
+
+
+@pytest.fixture(scope="module")
+def ref1():
+    """Scale-1 f64 reference + near-converged point + reference line
+    search, shared by every scale-invariance parametrization."""
+    plant, _, solver_ref = _problem(1.0, jnp.float64)
+    X64, U64 = _near_converged_point(solver_ref, plant, jnp.float64)
+    xs = X64[:, 0]
+    p64 = solver_ref.cost.default_params
+    guess = jnp.zeros((solver_ref.N, solver_ref.kkt.bs), jnp.float64)
+    dxu, _, _, _ = solver_ref.solve_qp(X64, U64, xs, p64, (),
+                                       jnp.asarray(1e-3), guess)
+    J0 = solver_ref.total_cost(X64, U64, p64, ())
+    c0 = solver_ref.total_violation(X64, U64, xs)
+    mu = solver_ref.merit_weight(J0, c0)
+    ls_ref = solver_ref.line_search(X64, U64, dxu, J0, c0, J0 + mu * c0,
+                                    xs, p64, ())
+    # ONE f32 solver reused at every scale: Q/QF/R live in the runtime
+    # cost params, so scaling happens in the params, not the jit graph
+    _, _, sol32 = _problem(1.0, jnp.float32)
+    ls32_jit = jax.jit(sol32.line_search)
+    tc32_jit = jax.jit(sol32.total_cost)
+    tv32_jit = jax.jit(sol32.total_violation)
+    return (X64, U64, xs, dxu, ls_ref, sol32, ls32_jit, tc32_jit, tv32_jit)
+
+
+def test_total_cost_diff_f32_accuracy(wbase):
+    plant, sol64, sol32, X64, U64 = wbase
 
     # perturb IN f32 (as the line search does), oracle-evaluate the exact
     # same f32 points upcast to f64 — isolates the accumulation error.
@@ -160,10 +194,8 @@ def test_quadratic_cost_diff_beats_subtraction():
     assert med_naive > 10 * med, (rels_naive, rels)
 
 
-def test_line_search_f32_matches_f64_decision():
-    _, _, sol64 = _problem(WEIGHT, jnp.float64)
-    plant, _, sol32 = _problem(WEIGHT, jnp.float32)
-    X64, U64 = _near_converged_point(sol64, plant, jnp.float64)
+def test_line_search_f32_matches_f64_decision(wbase):
+    plant, sol64, sol32, X64, U64 = wbase
     xs64 = X64[:, 0]
     p64 = sol64.cost.default_params
 
@@ -192,34 +224,25 @@ def test_line_search_f32_matches_f64_decision():
 
 
 @pytest.mark.parametrize("scale", [1.0, 1e-2, 1e-3])
-def test_line_search_f32_scale_invariance(scale):
+def test_line_search_f32_scale_invariance(scale, ref1):
     """Cost scaling (Q,R,tol all x s) must not flip the f32 decision —
     round 1 found the subtraction-form line search rejecting every step at
-    s = 1e-3 (zero-control drift misread as stability)."""
-    _, _, solver_ref = _problem(1.0, jnp.float64)
-    plant, _, solver_s = _problem(scale, jnp.float32)
-    X64, U64 = _near_converged_point(solver_ref, plant, jnp.float64)
-    xs = X64[:, 0]
-    p64 = solver_ref.cost.default_params
-
-    guess = jnp.zeros((solver_ref.N, solver_ref.kkt.bs), jnp.float64)
-    dxu, _, _, _ = solver_ref.solve_qp(X64, U64, xs, p64, (),
-                                       jnp.asarray(1e-3), guess)
-    J0 = solver_ref.total_cost(X64, U64, p64, ())
-    c0 = solver_ref.total_violation(X64, U64, xs)
-    mu = solver_ref.merit_weight(J0, c0)
-    ls_ref = solver_ref.line_search(X64, U64, dxu, J0, c0, J0 + mu * c0,
-                                    xs, p64, ())
+    s = 1e-3 (zero-control drift misread as stability).  The scaling
+    enters through the RUNTIME cost params (Q/QF/R), so all three
+    parametrizations share one compiled f32 line search."""
+    (X64, U64, xs, dxu, ls_ref, sol32, ls32_jit, tc32_jit,
+     tv32_jit) = ref1
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
-    ps = solver_s.cost.default_params
-    J0s = solver_s.total_cost(f32(X64), f32(U64), ps, ())
-    c0s = solver_s.total_violation(f32(X64), f32(U64), f32(xs))
+    p1 = sol32.cost.default_params
+    ps = p1._replace(Q=p1.Q * scale, QF=p1.QF * scale, R=p1.R * scale)
+    J0s = tc32_jit(f32(X64), f32(U64), ps, ())
+    c0s = tv32_jit(f32(X64), f32(U64), f32(xs))
     # scale-equivalent merit weight: mu scales with J so mu*c keeps its
     # relative weight (the constant mu=10 is NOT scale equivalent; pass
     # the scaled weight explicitly to test arithmetic, not semantics)
     mus = jnp.asarray(10.0 * scale, jnp.float32)
-    ls_s = jax.jit(solver_s.line_search)(
+    ls_s = ls32_jit(
         f32(X64), f32(U64), f32(dxu), J0s, c0s, J0s + mus * c0s,
         f32(xs), ps, (), mu=mus)
 
