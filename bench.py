@@ -91,6 +91,10 @@ def main():
         knobs["rti_lean"] = os.environ["BENCH_RTI_LEAN"] == "1"
     if "BENCH_RTI_CLIP" in os.environ:       # RTI trust-region step clip
         knobs["rti_step_clip"] = float(os.environ["BENCH_RTI_CLIP"])
+    if "BENCH_TORQUE_LIMIT" in os.environ:   # constrained flagship variant
+        knobs["torque_limit"] = float(os.environ["BENCH_TORQUE_LIMIT"])
+        knobs["torque_mode"] = os.environ.get("BENCH_TORQUE_MODE",
+                                              "AUGMENTED_LAGRANGIAN")
     if "BENCH_RHO" in os.environ:            # Levenberg damping floor
         knobs["rho_init"] = float(os.environ["BENCH_RHO"])
         knobs["rho_min"] = float(os.environ["BENCH_RHO"])
