@@ -69,7 +69,8 @@ def main():
     # fixed the nesting CHECK failure — measured 13,737 vs 10,774 solves/s
     # AND better tracking (421 vs 375 stable) at the PCG-SS 4-iter config.
     # (The flagship method "S"/cr never touches it.)
-    use_pallas_pcg = os.environ.get("BENCH_PALLAS_PCG", "1") == "1"
+    use_pallas_pcg = (os.environ.get(
+        "BENCH_PALLAS_PCG", "1" if backend == "tpu" else "0") == "1")
     knobs = {}
     if "BENCH_PCG_ITERS" in os.environ:      # tuning sweeps (lockstep vmap
         knobs["pcg_iters"] = int(os.environ["BENCH_PCG_ITERS"])

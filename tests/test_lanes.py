@@ -81,12 +81,14 @@ def test_pallas_fd_grad_interpret():
     f32 roundoff."""
     robot = serial_arm(6)
     rng = np.random.default_rng(11)
-    L = 256
+    # 128 lanes split as two 64-lane tiles: exercises the multi-tile
+    # lax.map path at half the (slow) interpreter cost of the old 2x128
+    L = 128
     q = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
     qd = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
     u = jnp.asarray(rng.standard_normal((6, L)) * 0.3, jnp.float32)
     ref = lanes.fd_grad_lanes(robot, q, qd, u)
-    out = lanes._pallas_fd_grad(robot, -9.81, q, qd, u, block_l=128,
+    out = lanes._pallas_fd_grad(robot, -9.81, q, qd, u, block_l=64,
                                 interpret=True)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 1e-4
