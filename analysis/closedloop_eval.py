@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--torque-mode", default="AUGMENTED_LAGRANGIAN",
                     choices=["AUGMENTED_LAGRANGIAN", "QUADRATIC_PENALTY",
                              "ACTIVE_SET", "FULL_SET", "ACTIVE_SET+AL"])
+    ap.add_argument("--torque-band", type=float, default=0.2,
+                    help="active-set chatter-damping activation band")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the Pallas fd/task kernels (fault "
                     "scoping on TPU)")
@@ -93,7 +95,8 @@ def main():
         vel_weight=args.vel_weight, r_weight=args.r_weight,
         qf_weight=args.qf_weight, integrator_type=args.integrator,
         pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
-        torque_limit=args.torque_limit, torque_mode=args.torque_mode)
+        torque_limit=args.torque_limit, torque_mode=args.torque_mode,
+        torque_band=args.torque_band)
     ctrl_cold = None
     if args.cold_steps > 0:
         _, _, ctrl_cold = _flagship_mpc(
@@ -102,7 +105,8 @@ def main():
             vel_weight=args.vel_weight, r_weight=args.r_weight,
             qf_weight=args.qf_weight, integrator_type=args.integrator,
             pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
-            torque_limit=args.torque_limit, torque_mode=args.torque_mode)
+            torque_limit=args.torque_limit, torque_mode=args.torque_mode,
+            torque_band=args.torque_band)
     nx = plant.nx
     B = args.scenarios
 
