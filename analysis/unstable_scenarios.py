@@ -56,15 +56,18 @@ def main():
 
     B, N, steps = 512, 64, 150
     plant, cost, ctrl = _flagship_mpc(N=N)
-    # the bench default's front-loaded cold phase (BENCH_COLD_STEPS=8)
-    cold_steps = int(os.environ.get("UNSTABLE_COLD_STEPS", "8"))
+    # the bench default's front-loaded cold phase (r4: 4 steps x 4 iters)
+    cold_steps = int(os.environ.get("UNSTABLE_COLD_STEPS", "4"))
+    cold_iters = int(os.environ.get("UNSTABLE_COLD_ITERS", "4"))
     ctrl_cold = None
     if cold_steps:
-        _, _, ctrl_cold = _flagship_mpc(N=N, max_iter=8, alpha_min=0.005,
+        _, _, ctrl_cold = _flagship_mpc(N=N, max_iter=cold_iters,
+                                        alpha_min=0.005,
                                         alpha_factor=0.5)
     nx = plant.nx
 
-    rng = np.random.default_rng(0)                    # bench.py's seed
+    seed = int(os.environ.get("UNSTABLE_SEED", "0"))  # bench.py BENCH_SEED
+    rng = np.random.default_rng(seed)
     x0s = jnp.asarray(0.1 * rng.standard_normal((B, nx)), jnp.float32)
     goals_np = np.concatenate([
         np.array([3.0, 2.0, 0.0]) + 0.3 * rng.standard_normal((B, 3)) * [1, 1, 0],
@@ -78,7 +81,8 @@ def main():
     print(f"unstable: {len(idx)}/{B} -> {idx.tolist()}")
 
     lines = ["# Flagship unstable-scenario forensics (tpu, B=512, "
-             f"{steps}-step episodes)\n"]
+             f"{steps}-step episodes, scenario seed {seed}, "
+             f"cold {cold_steps}x{cold_iters})\n"]
     lines.append(f"{len(idx)}/{B} scenarios end with EE error >= 1 m "
                  f"(median of the rest: "
                  f"{np.median(final[~bad]):.3f} m).\n")
