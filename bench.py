@@ -142,6 +142,15 @@ def main():
             "ls_fixed_alpha": float(os.environ.get("BENCH_COLD_RTI_ALPHA",
                                                    "0.0")),
         }
+        # precision-where-it-matters DEFAULT: block-Thomas (3x tighter
+        # f32 tracking, bench_history_r4.md finding 19) for the 4 cold
+        # solves, cyclic reduction for the throughput-critical steady
+        # state.  Measured (finding 20): turns the 5-seed stable record
+        # from 512/508/510/511/511 into 512/512 on EVERY seed at -1.4%
+        # throughput (18,567 vs 18,823).  BENCH_COLD_EXACT_SCHUR=cr
+        # reproduces the pure-CR schedule.
+        cold_knobs["exact_schur"] = os.environ.get(
+            "BENCH_COLD_EXACT_SCHUR", "thomas")
         _, _, ctrl_cold = _flagship_mpc(N=N, use_pallas=use_pallas,
                                         use_pallas_pcg=use_pallas_pcg,
                                         **cold_knobs)
