@@ -288,6 +288,10 @@ def main():
     _m = knobs.get("method", "S")
     method_label = (_m if _m.startswith("PCG") or _m == "iLQR"
                     else f"{_m}/{knobs.get('exact_schur', 'cr')}")
+    if ctrl_cold is not None and not _m.startswith("PCG") and _m != "iLQR":
+        _cold_es = cold_knobs.get("exact_schur", "cr")
+        if _cold_es != knobs.get("exact_schur", "cr"):
+            method_label += f" (cold {_cold_es})"
     quality = (f"median EE err {med_err:.3f} m from "
                f"{float(np.median(dist0)):.1f} m, {int(stable.sum())}/{B} "
                f"stable<1m" + ("" if gate_ok else " QUALITY-GATE-FAILED"))
