@@ -39,6 +39,9 @@ def main():
                     "slice (default offset+scenarios); set it to the big "
                     "set's size on EVERY chunk so the draws match")
     ap.add_argument("--N", type=int, default=64)
+    ap.add_argument("--method", default="S",
+                    help="flagship solver: S / PCG-SS / ... / iLQR "
+                    "(the reference's peer-method menu, ref: README.md:17)")
     ap.add_argument("--max-iter", type=int, default=5)
     ap.add_argument("--stable-below", type=float, default=1.0)
     ap.add_argument("--matmul-precision", default=None,
@@ -67,6 +70,11 @@ def main():
     ap.add_argument("--cold-iters", type=int, default=6)
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
+    if args.scenario_offset > 0 and not args.scenario_total:
+        ap.error("--scenario-total is required with --scenario-offset > 0: "
+                 "without the full stream size, each chunk draws a "
+                 "different-sized stream and the chunked scenarios diverge "
+                 "from the unchunked set")
 
     if args.dtype == "f64":
         os.environ.setdefault("JAX_ENABLE_X64", "1")
@@ -91,7 +99,7 @@ def main():
     pk = ({"use_pallas": False, "use_pallas_fd": False,
            "use_pallas_task": False} if args.no_pallas else {})
     plant, cost, ctrl = _flagship_mpc(
-        N=args.N, max_iter=args.max_iter, dtype=dtype, **pk,
+        N=args.N, method=args.method, max_iter=args.max_iter, dtype=dtype, **pk,
         vel_weight=args.vel_weight, r_weight=args.r_weight,
         qf_weight=args.qf_weight, integrator_type=args.integrator,
         pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
@@ -100,7 +108,8 @@ def main():
     ctrl_cold = None
     if args.cold_steps > 0:
         _, _, ctrl_cold = _flagship_mpc(
-            N=args.N, max_iter=args.cold_iters, dtype=dtype, **pk,
+            N=args.N, method=args.method, max_iter=args.cold_iters,
+            dtype=dtype, **pk,
             alpha_min=0.005, alpha_factor=0.5,
             vel_weight=args.vel_weight, r_weight=args.r_weight,
             qf_weight=args.qf_weight, integrator_type=args.integrator,

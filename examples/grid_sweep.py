@@ -141,6 +141,14 @@ def main():
     xs = np.linspace(-0.9 * n, 0.9 * n, side)
     pts = np.array([[x, y] for x in xs for y in xs
                     if x * x + y * y <= (0.9 * n) ** 2])
+    while pts.size == 0:
+        # a too-coarse square grid can put every point outside the disc
+        # (e.g. --n-goals 2): densify until at least one point lands inside,
+        # so the padding loop below can terminate
+        side *= 2
+        xs = np.linspace(-0.9 * n, 0.9 * n, side)
+        pts = np.array([[x, y] for x in xs for y in xs
+                        if x * x + y * y <= (0.9 * n) ** 2])
     goals_xy = pts[:args.n_goals]
     # vmap wants a fixed batch; pad by repeating the last goal
     while goals_xy.shape[0] < args.n_goals:

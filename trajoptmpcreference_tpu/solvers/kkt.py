@@ -36,6 +36,7 @@ from trajoptmpcreference_tpu.ops.btridiag import (
     BlockTridiag,
     btd_block_thomas,
     btd_cyclic_reduction,
+    btd_matvec,
     pcg,
     preconditioner,
     _bmm,
@@ -99,10 +100,13 @@ class KKTSystem:
     # (method "S"/cr) — PCG is the long-horizon / sharded alternative.
     use_pallas_pcg: bool = False
     # exact Schur solver for the non-PCG path (method "S"):
-    #   "thomas" — sequential block LU scan (O(N) dependency chain);
-    #   "cr"     — block cyclic reduction (log2(N) levels of batched block
-    #              ops; the TPU-parallel exact solve — see
-    #              ops.btridiag.btd_cyclic_reduction)
+    #   "thomas"    — sequential block LU scan (O(N) dependency chain);
+    #   "cr"        — block cyclic reduction (log2(N) levels of batched
+    #                 block ops; the TPU-parallel exact solve — see
+    #                 ops.btridiag.btd_cyclic_reduction)
+    #   "cr_refine" — cr + ONE iterative-refinement step (2x the CR work;
+    #                 recovers the sequential solver's f32 accuracy at
+    #                 log-depth latency)
     exact_schur: str = "thomas"
 
     # ---- static sizes ----
@@ -219,10 +223,12 @@ class KKTSystem:
     def _g_split(self) -> Optional[int]:
         """nx when G is statically (x, u)-block-diagonal (separable cost
         Hessian, no soft-constraint outer(gc, gc) term mixing x/u rows),
-        else None for the dense-block inverse."""
+        else None for the dense-block inverse.  Soft constraints that touch
+        only x-slices or only u-slices (e.g. a torque AL limit) keep the
+        blocks separable — their GN term lands entirely in one partition."""
         if getattr(self.cost, "xu_coupled", False):
             return None
-        if self.cset.has_soft():
+        if self.cset.has_soft() and not self.cset.soft_xu_separable():
             return None
         return self.nx
 
@@ -365,6 +371,105 @@ class KKTSystem:
         ru = gu.at[:-1].add(_bmv(jnp.swapaxes(blocks.B, -1, -2), lam[1:]))
         return jnp.concatenate([_bmv(iGxx, rx), _bmv(iGuu, ru)], axis=-1)
 
+    # --------------------------- condensed (structure-exploiting) hard rows
+    def _can_condense_hard(self) -> bool:
+        """Hard-constraint rows are stage-local (their row jacobian touches
+        only knot k's variables, ref: TrajoptConstraint.py:92-113), so in
+        the Schur system each knot's hard multipliers couple only to the
+        defect multipliers at knots k and k+1 — they can be eliminated
+        per-knot by one batched (m, m) solve, leaving a block-tridiagonal
+        core of size nx (the UNCONSTRAINED block size) instead of carrying
+        bs = nx + m through every O(bs^3) assembly/elimination/recovery
+        step.  Requires the (x, u)-separable G the split path uses.
+
+        ACTIVE_SET only: FULL_SET keeps both signed rows of every box live
+        (ref: TrajoptConstraint.py:64-68), which makes W — like the full
+        KKT system itself — exactly singular (the +/- row pair is linearly
+        dependent); that degenerate mode stays on the generic path, whose
+        behavior (garbage-in-singular, lstsq fallback for method N) matches
+        the reference's."""
+        return (self.m > 0 and self._g_split() is not None
+                and all(l.mode == "ACTIVE_SET"
+                        for l in self.cset.hard_limits))
+
+    def _schur_blocks_condensed(self, blocks: KKTBlocks, rho):
+        """Schur assembly with the hard rows condensed out.
+
+        Row blocks (generic path order [defect; hard] per knot):
+          S[d_k, h_k]     = -P_k,  P_k = iGxx_k Jx_k^T
+          S[d_{k+1}, h_k] =  Q_k,  Q_k = A_k iGxx_k Jx_k^T + B_k iGuu_k Ju_k^T
+          S[h_k, h_k]     = -W_k,  W_k = Jx iGxx Jx^T + Ju iGuu Ju^T
+                                         + diag(1 on inactive rows)
+        and S[h_k, *] is zero elsewhere (hard rows have no E part).
+        Eliminating lam_h (the Schur complement of the ND block -W in the
+        ND S, so the core stays negative definite):
+
+          S'_dd[k]     += P_k W_k^-1 P_k^T + Q_{k-1} W_{k-1}^-1 Q_{k-1}^T
+          S'_d,k(k+1)  -= P_k W_k^-1 Q_k^T
+          gam'_k       -= P_k W_k^-1 gh_k - Q_{k-1} W_{k-1}^-1 gh_{k-1}
+          gh_k          = hval_k - J_k invG_k g_k
+
+        Inactive rows are masked (J = 0, hval = 0, W = 1 on the diagonal),
+        which pins their multipliers to zero exactly as the generic path's
+        -1 diagonal does — but OUTSIDE the block elimination, so pinned
+        rows never sit in the same f32 pivoting as AL-inflated cost blocks
+        (the round-4 stacked-AS+AL divergence mechanism).  Equality with
+        the generic operator: tests/test_btridiag.py::
+        test_condensed_schur_matches_generic."""
+        nx, m = self.nx, self.m
+        S, gam, iGxx, iGuu = self._schur_blocks_split(blocks, rho)
+        Sd, So = S.diag, S.upper
+        Jx = blocks.hjac[:, :, :nx]          # (N, m, nx)
+        Ju = blocks.hjac[:, :, nx:]          # (N, m, nu)
+        JxT = jnp.swapaxes(Jx, -1, -2)
+        JuT = jnp.swapaxes(Ju, -1, -2)
+        P = _bmm(iGxx, JxT)                  # (N, nx, m)
+        Uu = _bmm(iGuu, JuT)                 # (N, nu, m)
+        W = _bmm(Jx, P) + _bmm(Ju, Uu)       # (N, m, m)
+        inact = (~blocks.hact).astype(W.dtype)
+        dj = jnp.arange(m)
+        W = W.at[:, dj, dj].add(inact)
+        W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+        iW = _inv_psd(W)
+        iW = 0.5 * (iW + jnp.swapaxes(iW, -1, -2))
+        Q = _bmm(blocks.A, P[:-1]) + _bmm(blocks.B, Uu[:-1])  # (N-1, nx, m)
+        gx, gu = blocks.g[:, :nx], blocks.g[:, nx:]
+        gh = blocks.hval - _bmv(Jx, _bmv(iGxx, gx)) - _bmv(Ju, _bmv(iGuu, gu))
+        PiW = _bmm(P, iW)                    # (N, nx, m)
+        QiW = _bmm(Q, iW[:-1])               # (N-1, nx, m)
+        Sd = Sd + _bmm(PiW, jnp.swapaxes(P, -1, -2))
+        Sd = Sd.at[1:].add(_bmm(QiW, jnp.swapaxes(Q, -1, -2)))
+        Sd = 0.5 * (Sd + jnp.swapaxes(Sd, -1, -2))
+        So = So - _bmm(PiW[:-1], jnp.swapaxes(Q, -1, -2))
+        gam = gam - _bmv(PiW, gh)
+        gam = gam.at[1:].add(_bmv(QiW, gh[:-1]))
+        aux = (iGxx, iGuu, P, Q, iW, gh)
+        return BlockTridiag(Sd, So), gam, aux
+
+    def _recover_condensed(self, blocks: KKTBlocks, aux, lam_d):
+        """Back out the hard multipliers then dxu:
+
+          lam_h,k = W_k^-1 (-gh_k - P_k^T lam_d,k + Q_k^T lam_d,k+1)
+          rx_k    = gx_k - lam_d,k + A_k^T lam_d,k+1 - Jx_k^T lam_h,k
+          ru_k    = gu_k + B_k^T lam_d,k+1 - Ju_k^T lam_h,k
+
+        Returns (dxu (N, n), lam (N, bs) in the generic [defect; hard]
+        row layout, so MPC warm-start carries are path-independent)."""
+        nx = self.nx
+        iGxx, iGuu, P, Q, iW, gh = aux
+        r = -gh - _bmv(jnp.swapaxes(P, -1, -2), lam_d)
+        r = r.at[:-1].add(_bmv(jnp.swapaxes(Q, -1, -2), lam_d[1:]))
+        lam_h = _bmv(iW, r)                  # (N, m)
+        Jx = blocks.hjac[:, :, :nx]
+        Ju = blocks.hjac[:, :, nx:]
+        gx, gu = blocks.g[:, :nx], blocks.g[:, nx:]
+        rx = gx - lam_d - _bmv(jnp.swapaxes(Jx, -1, -2), lam_h)
+        rx = rx.at[:-1].add(_bmv(jnp.swapaxes(blocks.A, -1, -2), lam_d[1:]))
+        ru = gu - _bmv(jnp.swapaxes(Ju, -1, -2), lam_h)
+        ru = ru.at[:-1].add(_bmv(jnp.swapaxes(blocks.B, -1, -2), lam_d[1:]))
+        dxu = jnp.concatenate([_bmv(iGxx, rx), _bmv(iGuu, ru)], axis=-1)
+        return dxu, jnp.concatenate([lam_d, lam_h], axis=-1)
+
     def solve_schur(self, blocks: KKTBlocks, rho,
                     use_pcg: bool = False,
                     pcg_tol: float = 1e-6,
@@ -378,13 +483,20 @@ class KKTSystem:
         PCG dual trace (|nu| + true residual histories) in the stats —
         XLA PCG path only (one extra matvec per iteration)."""
         split = self._can_split_schur()
+        condensed = (not split) and self._can_condense_hard()
         if split:
             S, gam, iGxx, iGuu = self._schur_blocks_split(blocks, rho)
+        elif condensed:
+            S, gam, caux = self._schur_blocks_condensed(blocks, rho)
+            # the solved system is the nx-block core; slice the warm-start
+            # guess down to its defect rows (generic layout [defect; hard])
+            if guess is not None:
+                guess = guess[:, :self.nx]
         else:
             S, gam, invG, E, F = self.schur_blocks(blocks, rho)
         if use_pcg:
             if self.use_pallas_pcg:
-                solve = _pallas_pcg_solver(self.N, self.bs, precond,
+                solve = _pallas_pcg_solver(self.N, S.bs, precond,
                                            pcg_tol, pcg_max_iter,
                                            pcg_relative)
                 g0 = jnp.zeros_like(gam) if guess is None else guess
@@ -401,13 +513,24 @@ class KKTSystem:
                                         nu_trace=res.nu_trace,
                                         res_trace=res.res_trace)
         else:
-            if self.exact_schur == "cr":
+            if self.exact_schur in ("cr", "cr_refine"):
                 lam = btd_cyclic_reduction(S, gam)
+                if self.exact_schur == "cr_refine":
+                    # one step of iterative refinement: CR's ~2x block work
+                    # amplifies f32 rounding ~3x vs sequential Thomas
+                    # (bench_history_r4.md finding 19); re-solving for the
+                    # residual recovers Thomas-grade accuracy at CR's
+                    # log-depth latency (the residual solve reuses the
+                    # same batched level kernels)
+                    r = gam - btd_matvec(S, lam)
+                    lam = lam + btd_cyclic_reduction(S, r)
             else:
                 lam = btd_block_thomas(S, gam)
             stats = SchurSolveStats(jnp.array(0), jnp.array(True))
         if split:
             dxu = self._recover_dxu_split(iGxx, iGuu, blocks, lam)
+        elif condensed:
+            dxu, lam = self._recover_condensed(blocks, caux, lam)
         else:
             dxu = self.recover_dxu(invG, E, F, blocks, lam)
         return dxu, lam, stats

@@ -196,6 +196,81 @@ class SQPSolver:
             c = c + jnp.sum(jnp.abs(hvN))
         return c
 
+    # ------------------------------------------------------ fused metrics
+    # The glue between solver phases is dispatch-latency-bound on TPU
+    # (analysis/bench_history_r4.md finding 18: ~3 ms of the 8 ms iterate
+    # is small-op scheduling).  The cost-change and violation sweeps both
+    # walk the same knots, so they are evaluated in ONE vmapped stage
+    # sweep — one fused XLA region per call instead of two — with
+    # identical per-stage math (sums reassociate, below f32 tolerance).
+
+    def base_metrics(self, X, U, xs, cost_params, cstate):
+        """(total_cost, total_violation) in one knot sweep
+        (ref: TrajoptMPCReference.py:296-310 and :273-294)."""
+        ks = jnp.arange(self.N - 1)
+
+        def stage(x, u, xn, k):
+            J = self.cost.stage_value(cost_params, x, u, k)
+            if self.cset.has_soft():
+                J = J + C.stage_soft_value(self.cset, cstate, x, u, k)
+            c = jnp.sum(jnp.abs(xn - self.plant.step(x, u, self.dt)))
+            if self.cset.has_hard():
+                c = c + jnp.sum(jnp.abs(
+                    C.stage_hard_rows(self.cset, x, u, False)[0]))
+            return J, c
+
+        Js, cs = jax.vmap(stage)(X[:, :-1].T, U.T, X[:, 1:].T, ks)
+        kN = jnp.asarray(self.N - 1)
+        J = jnp.sum(Js) + self.cost.term_value(cost_params, X[:, -1], kN)
+        if self.cset.has_soft():
+            J = J + C.term_soft_value(self.cset, cstate, X[:, -1], kN)
+        c = jnp.sum(cs) + jnp.sum(jnp.abs(X[:, 0] - xs))
+        if self.cset.has_hard():
+            c = c + jnp.sum(jnp.abs(
+                C.stage_hard_rows(self.cset, X[:, -1], None, True)[0]))
+        return J, c
+
+    def _diff_metrics(self, X, U, Xc, Uc, xs, cost_params, cstate):
+        """(J(Xc,Uc) - J(X,U), violation(Xc,Uc)) in one knot sweep —
+        the line-search evaluate's two passes fused.  The cost diff keeps
+        costs.total_cost_diff's cancellation-safe per-stage structure."""
+        ks = jnp.arange(self.N - 1)
+        svd = self.cost.stage_value_diff
+
+        def stage(x, u, xc, uc, xcn, k):
+            if svd is not None:
+                d = svd(cost_params, x, u, xc, uc, k)
+            else:
+                d = (self.cost.stage_value(cost_params, xc, uc, k)
+                     - self.cost.stage_value(cost_params, x, u, k))
+            if self.cset.has_soft():
+                d = d + (C.stage_soft_value(self.cset, cstate, xc, uc, k)
+                         - C.stage_soft_value(self.cset, cstate, x, u, k))
+            c = jnp.sum(jnp.abs(xcn - self.plant.step(xc, uc, self.dt)))
+            if self.cset.has_hard():
+                c = c + jnp.sum(jnp.abs(
+                    C.stage_hard_rows(self.cset, xc, uc, False)[0]))
+            return d, c
+
+        ds, cs = jax.vmap(stage)(X[:, :-1].T, U.T, Xc[:, :-1].T, Uc.T,
+                                 Xc[:, 1:].T, ks)
+        d = jnp.sum(ds)
+        kN = jnp.asarray(self.N - 1)
+        if self.cost.term_value_diff is not None:
+            d = d + self.cost.term_value_diff(cost_params, X[:, -1],
+                                              Xc[:, -1], kN)
+        else:
+            d = d + (self.cost.term_value(cost_params, Xc[:, -1], kN)
+                     - self.cost.term_value(cost_params, X[:, -1], kN))
+        if self.cset.has_soft():
+            d = d + (C.term_soft_value(self.cset, cstate, Xc[:, -1], kN)
+                     - C.term_soft_value(self.cset, cstate, X[:, -1], kN))
+        c = jnp.sum(cs) + jnp.sum(jnp.abs(Xc[:, 0] - xs))
+        if self.cset.has_hard():
+            c = c + jnp.sum(jnp.abs(
+                C.stage_hard_rows(self.cset, Xc[:, -1], None, True)[0]))
+        return d, c
+
     def directional_derivative(self, Xc, Uc, dxu, cost_params, cstate):
         """D = sum_k grad_k . dxu_k (+ soft jacobians), evaluated at the
         candidate trajectory (ref: TrajoptMPCReference.py:636-648)."""
@@ -275,10 +350,12 @@ class SQPSolver:
         def evaluate(alpha):
             Xc = X - alpha * dX
             Uc = U - alpha * dU
-            # cancellation-safe merit change (see total_cost_diff): the
-            # acceptance test compares differences, never two large totals
-            dJ = self.total_cost_diff(X, U, Xc, Uc, cost_params, cstate)
-            c_new = self.total_violation(Xc, Uc, xs)
+            # cancellation-safe merit change (see total_cost_diff) and the
+            # candidate violation in ONE fused knot sweep (_diff_metrics):
+            # the acceptance test compares differences, never two large
+            # totals, and pays one dispatch phase instead of two
+            dJ, c_new = self._diff_metrics(X, U, Xc, Uc, xs, cost_params,
+                                           cstate)
             if D_base is not None:
                 D = D_base
             else:
@@ -330,8 +407,8 @@ class SQPSolver:
                           Xc=Xc, Uc=Uc, dJ=zero, J_new=J, c_new=c,
                           merit_new=merit, D=zero,
                           ratio=jnp.ones((), dtype))
-            dJ = self.total_cost_diff(X, U, Xc, Uc, cost_params, cstate)
-            c_new = self.total_violation(Xc, Uc, xs)
+            dJ, c_new = self._diff_metrics(X, U, Xc, Uc, xs, cost_params,
+                                           cstate)
             D = D_base if D_base is not None else jnp.zeros((), dtype)
             delta_merit = -dJ + mu * (c - c_new)
             return LS(alpha=alpha, done=jnp.array(True),
@@ -475,8 +552,7 @@ class SQPSolver:
             J0 = c0 = jnp.zeros((), dtype)
             mu = jnp.asarray(10.0, dtype)
         else:
-            J0 = self.total_cost(X, U, cost_params, cstate)
-            c0 = self.total_violation(X, U, xs)
+            J0, c0 = self.base_metrics(X, U, xs, cost_params, cstate)
             mu = self.merit_weight(J0, c0)
         merit0 = J0 + mu * c0
         if guess0 is None:
@@ -607,10 +683,11 @@ def make_sqp(plant: Plant, cost: Cost, cset: Optional[C.ConstraintSet],
     if cset is None:
         cset = C.ConstraintSet(plant.nq, plant.nv, plant.nu, N)
     options = options or SQPOptions()
-    if exact_schur not in ("thomas", "cr"):
+    if exact_schur not in ("thomas", "cr", "cr_refine"):
         raise ValueError(
             f"Invalid exact_schur {exact_schur!r}; options are 'thomas' "
-            "(sequential block LU) or 'cr' (block cyclic reduction)")
+            "(sequential block LU), 'cr' (block cyclic reduction), or "
+            "'cr_refine' (cr + one iterative-refinement step)")
     kkt = KKTSystem(plant=plant, cost=cost, cset=cset, N=N, dt=dt,
                     use_pallas_pcg=use_pallas_pcg, exact_schur=exact_schur)
     if mesh is not None:
