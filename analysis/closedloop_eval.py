@@ -60,6 +60,9 @@ def main():
                              "ACTIVE_SET", "FULL_SET", "ACTIVE_SET+AL"])
     ap.add_argument("--torque-band", type=float, default=0.2,
                     help="active-set chatter-damping activation band")
+    ap.add_argument("--soft-iters", type=int, default=None,
+                    help="cap the AL/penalty outer rounds per solve "
+                    "(AL-in-MPC budget; None = solver default 10)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the Pallas fd/task kernels (fault "
                     "scoping on TPU)")
@@ -99,7 +102,8 @@ def main():
     pk = ({"use_pallas": False, "use_pallas_fd": False,
            "use_pallas_task": False} if args.no_pallas else {})
     plant, cost, ctrl = _flagship_mpc(
-        N=args.N, method=args.method, max_iter=args.max_iter, dtype=dtype, **pk,
+        N=args.N, method=args.method, max_iter=args.max_iter, dtype=dtype,
+        max_iter_soft=args.soft_iters, **pk,
         vel_weight=args.vel_weight, r_weight=args.r_weight,
         qf_weight=args.qf_weight, integrator_type=args.integrator,
         pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
@@ -109,7 +113,7 @@ def main():
     if args.cold_steps > 0:
         _, _, ctrl_cold = _flagship_mpc(
             N=args.N, method=args.method, max_iter=args.cold_iters,
-            dtype=dtype, **pk,
+            dtype=dtype, max_iter_soft=args.soft_iters, **pk,
             alpha_min=0.005, alpha_factor=0.5,
             vel_weight=args.vel_weight, r_weight=args.r_weight,
             qf_weight=args.qf_weight, integrator_type=args.integrator,

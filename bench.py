@@ -96,6 +96,8 @@ def main():
         knobs["torque_limit"] = float(os.environ["BENCH_TORQUE_LIMIT"])
         knobs["torque_mode"] = os.environ.get("BENCH_TORQUE_MODE",
                                               "AUGMENTED_LAGRANGIAN")
+    if "BENCH_SOFT_ITERS" in os.environ:     # AL outer rounds per solve
+        knobs["max_iter_soft"] = int(os.environ["BENCH_SOFT_ITERS"])
     if "BENCH_RHO" in os.environ:            # Levenberg damping floor
         knobs["rho_init"] = float(os.environ["BENCH_RHO"])
         knobs["rho_min"] = float(os.environ["BENCH_RHO"])

@@ -207,3 +207,53 @@ def test_parallel_riccati_swing_up_on_arm():
     K2, k2, _, _, _ = solver.backward_parallel(A, B, g, H, gN, HN, rho)
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-8)
     np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-8)
+
+
+def test_cho_guarded_jitter_fallback():
+    """Non-PD Quu: the guarded factor stays finite (jittered refactor) and
+    the flag still reports the failure so the rho schedule reacts."""
+    from trajoptmpcreference_tpu.solvers.ilqr import _cho_guarded
+
+    rho = jnp.asarray(1e-3)
+    good = jnp.asarray([[4.0, 1.0], [1.0, 3.0]])
+    (L, low), ok = _cho_guarded(good, rho)
+    assert bool(ok)
+    x = jax.scipy.linalg.cho_solve((L, low), jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(good @ x), np.ones(2), atol=1e-10)
+
+    bad = jnp.asarray([[1.0, 0.0], [0.0, -1e-4]])   # indefinite
+    (Lb, lowb), okb = _cho_guarded(bad, rho)
+    assert not bool(okb)
+    assert bool(jnp.all(jnp.isfinite(Lb)))
+    xb = jax.scipy.linalg.cho_solve((Lb, lowb), jnp.ones(2))
+    assert bool(jnp.all(jnp.isfinite(xb)))
+
+
+def test_mpc_warm_rollout_plan_reset():
+    """Regression for the closed-loop NaN spiral (round-4 bench finding 7 /
+    round-5 forensics): on the 6-DoF arm at N=16 the shifted single-
+    shooting warm start eventually overflows, the non-finite base cost
+    then rejects EVERY candidate (dJ = NaN), and the stale plan walks the
+    episode off — f32 reached |x| > 1e6 by step 23 and NaN by step 28.
+    With the plan-reset guard + jittered backward the same episode must
+    stay finite and bounded at BOTH precisions (the f64-vs-f32 knife edge
+    is exactly what finding 7 recorded)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _flagship_mpc
+
+    for dtype in (jnp.float32, jnp.float64):
+        plant, cost, ctrl = _flagship_mpc(
+            N=16, max_iter=8, dtype=dtype, method="iLQR",
+            use_pallas=False, use_pallas_fd=False, use_pallas_task=False)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(0.1 * rng.standard_normal(plant.nx), dtype)
+        goal = jnp.asarray([3.0, 2.0, 0, 0, 0, 0], dtype)
+        cp = cost.default_params._replace(xg=goal)
+        res = jax.jit(lambda x0, cp: ctrl.run(x0, steps=30,
+                                              cost_params=cp))(x0, cp)
+        X = np.asarray(res.X_applied)
+        assert np.all(np.isfinite(X)), dtype
+        assert np.max(np.abs(X)) < 1e4, (dtype, np.max(np.abs(X)))

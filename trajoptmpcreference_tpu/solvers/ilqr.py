@@ -44,6 +44,31 @@ def _T(M):
     return jnp.swapaxes(M, -1, -2)
 
 
+def _cho_guarded(Quu, rho):
+    """Cholesky with a one-shot jitter fallback.
+
+    A non-PD Quu at low rho makes the whole backward pass garbage — the
+    line search then rejects it and rho escalates x4, but in the MPC
+    regime (max_iter ~ 5-8) every such round-trip burns an iteration the
+    budget cannot spare, and the NaN factor poisons the value recursion
+    carried BEHIND the failing knot.  Instead: factor once, and where the
+    factor is bad re-factor with a jitter sized to the matrix scale
+    (max(10 rho, 1e-3 tr(Quu)/nu)) — the standard Levenberg fallback.
+    The ``ok`` flag still reports the original failure so the rho
+    schedule reacts; the fallback only keeps the recursion finite and
+    the direction descent-ish in the meantime."""
+    nu = Quu.shape[-1]
+    dtype = Quu.dtype
+    I = jnp.eye(nu, dtype=dtype)
+    L, low = jax.scipy.linalg.cho_factor(Quu, lower=True)
+    ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.diag(L) > 0)
+    jit = jnp.maximum(10.0 * rho, 1e-3 * jnp.abs(jnp.trace(Quu)) / nu)
+    Lj, _ = jax.scipy.linalg.cho_factor(
+        Quu + jnp.where(ok, 0.0, jit).astype(dtype) * I, lower=True)
+    L = jnp.where(ok, L, Lj)
+    return (L, low), ok
+
+
 class ILQRResult(NamedTuple):
     X: jnp.ndarray            # (nx, N)
     U: jnp.ndarray            # (nu, N-1)
@@ -130,9 +155,10 @@ class ILQRSolver:
             Qxx = Hxx + Ak.T @ Vxx @ Ak
             Quu = Huu + Bk.T @ Vxx @ Bk + rho * jnp.eye(nu, dtype=dtype)
             Qux = Hux + Bk.T @ Vxx @ Ak
-            # solve the (nu, nu) system for gains; flag non-PD via Cholesky
-            L, low = jax.scipy.linalg.cho_factor(Quu, lower=True)
-            diag_ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.diag(L) > 0)
+            # gains via guarded Cholesky: non-PD flags ``bad`` (drives the
+            # rho schedule) but a jittered refactor keeps the recursion
+            # finite instead of poisoning every earlier knot with NaN
+            (L, low), diag_ok = _cho_guarded(Quu, rho)
             Kk = jax.scipy.linalg.cho_solve((L, low), Qux)
             kk = jax.scipy.linalg.cho_solve((L, low), Qu)
             Vx1 = Qx - Qux.T @ kk
@@ -190,8 +216,7 @@ class ILQRSolver:
             Hxx = Hk[:nx, :nx]
             Huu = Hk[nx:, nx:] + rho * Inu
             Hux = Hk[nx:, :nx]
-            L, low = jax.scipy.linalg.cho_factor(Huu, lower=True)
-            ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.diag(L) > 0)
+            (L, low), ok = _cho_guarded(Huu, rho)
             WHux = jax.scipy.linalg.cho_solve((L, low), Hux)   # Huu^-1 Hux
             Wgu = jax.scipy.linalg.cho_solve((L, low), gu)
             WBt = jax.scipy.linalg.cho_solve((L, low), Bk.T)
@@ -247,8 +272,7 @@ class ILQRSolver:
             Qu = gu + Bk.T @ Vx1
             Quu = Huu + Bk.T @ Vxx1 @ Bk + rho * Inu
             Qux = Hux + Bk.T @ Vxx1 @ Ak
-            L, low = jax.scipy.linalg.cho_factor(Quu, lower=True)
-            ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.diag(L) > 0)
+            (L, low), ok = _cho_guarded(Quu, rho)
             Kk = jax.scipy.linalg.cho_solve((L, low), Qux)
             kk = jax.scipy.linalg.cho_solve((L, low), Qu)
             return Kk, kk, Qu @ kk, kk @ Quu @ kk, ok
@@ -389,6 +413,18 @@ class ILQRSolver:
             return xn, xn
 
         _, Xtail = jax.lax.scan(_ro, x0[:, 0], u0.T)
+        # Plan-reset recovery: in the MPC regime a shifted plan rolled out
+        # from a disturbed state can overflow — and a non-finite base cost
+        # poisons every acceptance test (dJ = NaN rejects forever), so one
+        # bad warm start ends the episode (measured: flagship N=16 f32
+        # closed loop walks off through exactly this spiral).  If the warm
+        # rollout diverges, restart the solve from zero controls — the
+        # standard single-shooting anti-windup.
+        bad_plan = (~jnp.all(jnp.isfinite(Xtail))
+                    | (jnp.max(jnp.abs(Xtail)) > 1e6))
+        u0 = jnp.where(bad_plan, jnp.zeros_like(u0), u0)
+        _, Xtail0 = jax.lax.scan(_ro, x0[:, 0], u0.T)
+        Xtail = jnp.where(bad_plan, Xtail0, Xtail)
         x0 = jnp.concatenate([x0[:, :1], Xtail.T], axis=1)
 
         class SoftS(NamedTuple):
