@@ -60,6 +60,9 @@ def main():
                              "ACTIVE_SET", "FULL_SET", "ACTIVE_SET+AL"])
     ap.add_argument("--torque-band", type=float, default=0.2,
                     help="active-set chatter-damping activation band")
+    ap.add_argument("--step-clip", type=float, default=float("inf"),
+                    help="trust-region clip on max|dU| in the line-searched "
+                    "path (constrained-MPC bound-jump guard)")
     ap.add_argument("--soft-iters", type=int, default=None,
                     help="cap the AL/penalty outer rounds per solve "
                     "(AL-in-MPC budget; None = solver default 10)")
@@ -103,7 +106,7 @@ def main():
            "use_pallas_task": False} if args.no_pallas else {})
     plant, cost, ctrl = _flagship_mpc(
         N=args.N, method=args.method, max_iter=args.max_iter, dtype=dtype,
-        max_iter_soft=args.soft_iters, **pk,
+        max_iter_soft=args.soft_iters, ls_step_clip=args.step_clip, **pk,
         vel_weight=args.vel_weight, r_weight=args.r_weight,
         qf_weight=args.qf_weight, integrator_type=args.integrator,
         pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
@@ -113,7 +116,8 @@ def main():
     if args.cold_steps > 0:
         _, _, ctrl_cold = _flagship_mpc(
             N=args.N, method=args.method, max_iter=args.cold_iters,
-            dtype=dtype, max_iter_soft=args.soft_iters, **pk,
+            dtype=dtype, max_iter_soft=args.soft_iters,
+            ls_step_clip=args.step_clip, **pk,
             alpha_min=0.005, alpha_factor=0.5,
             vel_weight=args.vel_weight, r_weight=args.r_weight,
             qf_weight=args.qf_weight, integrator_type=args.integrator,

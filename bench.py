@@ -98,6 +98,8 @@ def main():
                                               "AUGMENTED_LAGRANGIAN")
     if "BENCH_SOFT_ITERS" in os.environ:     # AL outer rounds per solve
         knobs["max_iter_soft"] = int(os.environ["BENCH_SOFT_ITERS"])
+    if "BENCH_STEP_CLIP" in os.environ:      # trust-region max|dU| clip
+        knobs["ls_step_clip"] = float(os.environ["BENCH_STEP_CLIP"])
     if "BENCH_RHO" in os.environ:            # Levenberg damping floor
         knobs["rho_init"] = float(os.environ["BENCH_RHO"])
         knobs["rho_min"] = float(os.environ["BENCH_RHO"])

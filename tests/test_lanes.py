@@ -28,19 +28,16 @@ def setup(request):
 def test_fd_lanes_matches(setup):
     robot, rbd, q, qd, u = setup
     out = lanes.fd_lanes(robot, q, qd, u)
-    for l in range(q.shape[1]):
-        ref = rbd.fd(q[:, l], qd[:, l], u[:, l])
-        np.testing.assert_allclose(np.asarray(out[:, l]), np.asarray(ref),
-                                   atol=1e-10)
+    # one vmapped+jitted oracle call instead of L eager traces
+    ref = jax.jit(jax.vmap(rbd.fd, in_axes=1, out_axes=1))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
 
 
 def test_fd_grad_lanes_matches(setup):
     robot, rbd, q, qd, u = setup
     out = lanes.fd_grad_lanes(robot, q, qd, u)
-    for l in range(q.shape[1]):
-        ref = rbd.fd_grad(q[:, l], qd[:, l], u[:, l])
-        np.testing.assert_allclose(np.asarray(out[:, :, l]), np.asarray(ref),
-                                   atol=1e-10)
+    ref = jax.jit(jax.vmap(rbd.fd_grad, in_axes=1, out_axes=2))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
 
 
 @pytest.mark.slow
@@ -53,12 +50,10 @@ def test_custom_vmap_folding(setup):
     np.testing.assert_allclose(
         np.asarray(fd1(q[:, 0], qd[:, 0], u[:, 0])),
         np.asarray(rbd.fd(q[:, 0], qd[:, 0], u[:, 0])), atol=1e-10)
-    # one vmap level
+    # one vmap level — oracle is ONE vmapped+jitted call, not L eager traces
     out = jax.jit(jax.vmap(fdg1))(q.T, qd.T, u.T)    # (L, n, 3n)
-    for l in range(L):
-        np.testing.assert_allclose(
-            np.asarray(out[l]),
-            np.asarray(rbd.fd_grad(q[:, l], qd[:, l], u[:, l])), atol=1e-10)
+    ref1 = jax.jit(jax.vmap(rbd.fd_grad))(q.T, qd.T, u.T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref1), atol=1e-10)
     # nested vmap (scenarios x knots)
     B, K = 3, 4
     rng = np.random.default_rng(0)
@@ -66,12 +61,9 @@ def test_custom_vmap_folding(setup):
     QD = jnp.asarray(rng.standard_normal((B, K, n)))
     UU = jnp.asarray(rng.standard_normal((B, K, n)))
     nested = jax.jit(jax.vmap(jax.vmap(fdg1)))(Q, QD, UU)
-    for b in range(B):
-        for k in range(K):
-            np.testing.assert_allclose(
-                np.asarray(nested[b, k]),
-                np.asarray(rbd.fd_grad(Q[b, k], QD[b, k], UU[b, k])),
-                atol=1e-10)
+    ref2 = jax.jit(jax.vmap(jax.vmap(rbd.fd_grad)))(Q, QD, UU)
+    np.testing.assert_allclose(np.asarray(nested), np.asarray(ref2),
+                               atol=1e-10)
 
 
 @pytest.mark.slow

@@ -274,19 +274,28 @@ def test_parallel_line_search_matches_sequential():
     X = jnp.tile(x0[:, None], (1, N))
     U = jnp.asarray(0.1 * rng.standard_normal((plant.nu, N - 1)))
 
+    # the QP step and base metrics don't depend on the acceptance gate —
+    # build them ONCE (jitted) and share across both gate settings
+    base = make_sqp(plant, cost, None, N, 0.05, method="S",
+                    options=SQPOptions())
+    xs = X[:, 0]
+    cp = cost.default_params
+    cstate = base.cset.init_state(dtype=X.dtype)
+
+    @jax.jit
+    def setup_step(X, U):
+        blocks = base.kkt.form_blocks(X, U, xs, cp, cstate)
+        dxu, _, _ = base.kkt.solve_schur(blocks, 1e-3)
+        J, c = base.base_metrics(X, U, xs, cp, cstate)
+        return dxu, J, c
+
+    dxu, J, c = setup_step(X, U)
     for reduction_min in (0.05, -100.0):   # strict gate rejects more alphas
         opts = SQPOptions(expected_reduction_min=reduction_min)
         seq = make_sqp(plant, cost, None, N, 0.05, method="S", options=opts)
         par = make_sqp(plant, cost, None, N, 0.05, method="S",
                        options=dataclasses.replace(
                            opts, parallel_line_search=True))
-        xs = X[:, 0]
-        cp = cost.default_params
-        cstate = seq.cset.init_state(dtype=X.dtype)
-        blocks = seq.kkt.form_blocks(X, U, xs, cp, cstate)
-        dxu, _, _ = seq.kkt.solve_schur(blocks, 1e-3)
-        J = seq.total_cost(X, U, cp, cstate)
-        c = seq.total_violation(X, U, xs)
         mu = seq.merit_weight(J, c)
         merit = J + mu * c
         a = jax.jit(seq.line_search)(X, U, dxu, J, c, merit, xs, cp, cstate)

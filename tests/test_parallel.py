@@ -269,3 +269,45 @@ def test_horizon_sharded_exact_sqp_matches_unsharded():
     with pytest.raises(ValueError, match="3 local block rows"):
         make_sqp(plant, cost, None, 16, dt, method="S", options=opts,
                  mesh=mesh)
+
+
+@pytest.mark.slow
+def test_solve_batch_invariance():
+    """A scenario's solve must not depend on its batchmates.
+
+    Under vmap a while_loop runs to the batch-MAX trip count; before
+    round 5 the solver loop bodies kept iterating scenarios that had
+    already exited (rho drift, active-set chatter, AL escalation), so
+    the same scenario produced different results at different batch
+    sizes (measured on the stacked-AS+AL flagship: which scenario
+    diverges changed with the batch).  The freeze gates in
+    sqp_round/solve must make batched and single solves bit-identical."""
+    import numpy as np
+
+    from trajoptmpcreference_tpu import (
+        ConstraintSet, PendulumPlant, QuadraticCost, SQPOptions, make_sqp,
+    )
+
+    plant = PendulumPlant()
+    N = 20
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    cset = (ConstraintSet(1, 1, 1, N)
+            .with_torque_limits([7.0], [-7.0], "ACTIVE_SET")
+            .with_torque_limits([7.0], [-7.0], "AUGMENTED_LAGRANGIAN"))
+    solver = make_sqp(plant, cost, cset, N, 0.1, method="S",
+                      options=SQPOptions(expected_reduction_min=-100.0))
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((4, 2)))
+
+    def one(x0):
+        X0 = jnp.tile(x0[:, None], (1, N))
+        return solver.solve(X0, jnp.zeros((1, N - 1), X0.dtype))
+
+    batched = jax.jit(jax.vmap(one))(x0s)
+    for i in range(4):
+        single = jax.jit(one)(x0s[i])
+        np.testing.assert_array_equal(np.asarray(batched.U[i]),
+                                      np.asarray(single.U))
+        assert int(batched.sqp_iters[i]) == int(single.sqp_iters)
+        assert int(batched.outer_iters[i]) == int(single.outer_iters)

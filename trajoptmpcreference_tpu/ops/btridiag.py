@@ -274,7 +274,13 @@ def pcg(A: BlockTridiag, b: jnp.ndarray, Pinv: BlockTridiag,
         done_new = jnp.abs(nu_new) <= thr
         beta = nu_new / nu
         p_new = rt + beta * p
-        return (x_new, r_new, p_new, nu_new, it + 1, done_new, trace, rtrace)
+        new = (x_new, r_new, p_new, nu_new, it + 1, done_new, trace, rtrace)
+        # batch-invariance freeze: under vmap the loop runs to the
+        # batch-max iteration count; a converged lane must stop updating
+        # (extra Krylov steps change its x with the batch composition —
+        # see solvers.sqp.sqp_round)
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(done, o, n), new, state)
 
     init = (x0, r0, p0, nu0, jnp.array(0), done0, trace0, rtrace0)
     x, r, p, nu, it, done, trace, rtrace = jax.lax.while_loop(cond, body, init)

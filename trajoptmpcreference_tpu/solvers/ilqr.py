@@ -382,8 +382,13 @@ class ILQRSolver:
                                   EXIT_MAX_ITER, exit_code)
             done = exit_code > 0
             it1 = jnp.where(done, s.it, s.it + 1)
-            return S(X=X1, U=U1, K=K, J=J1, rho=rho1, drho=drho1, it=it1,
-                     exit_code=exit_code, done=done)
+            s_new = S(X=X1, U=U1, K=K, J=J1, rho=rho1, drho=drho1, it=it1,
+                      exit_code=exit_code, done=done)
+            # batch-invariance freeze: see solvers.sqp.sqp_round — without
+            # it a finished scenario keeps iterating for as long as its
+            # slowest batchmate, so results depend on batch composition
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(s.done, old, new), s_new, s)
 
         init = S(X=X, U=U, K=jnp.zeros((self.N - 1, nu, nx), dtype),
                  J=J0, rho=jnp.asarray(o.rho_init, dtype),
@@ -455,9 +460,12 @@ class ILQRSolver:
                                   EXIT_SOFT_MU_LIMIT, exit_soft)
             done = exit_soft > 0
             outer_it1 = jnp.where(hit_max | done, s.outer_it, s.outer_it + 1)
-            return SoftS(X=X1, U=U1, K=K1, cstate=cstate1, outer_it=outer_it1,
-                         exit_soft=exit_soft, exit_ilqr=exit_ilqr,
-                         iters=iters, J=J, done=done)
+            s_new = SoftS(X=X1, U=U1, K=K1, cstate=cstate1,
+                          outer_it=outer_it1, exit_soft=exit_soft,
+                          exit_ilqr=exit_ilqr, iters=iters, J=J, done=done)
+            # batch-invariance freeze (see solvers.sqp.sqp_round)
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(s.done, old, new), s_new, s)
 
         dtype = x0.dtype
         nx, nu = self.plant.nx, self.plant.nu

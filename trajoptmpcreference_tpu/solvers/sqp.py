@@ -119,6 +119,19 @@ class SQPOptions:
     # clipped step while leaving warm steady-state steps (far below any
     # sensible clip) exactly at fixed alpha.  inf = off.
     rti_step_clip: float = float("inf")
+    # trust-region clip for the LINE-SEARCHED path: rescale the QP
+    # direction so max|dU| <= ls_step_clip before the alpha ladder (the
+    # direction is preserved; only its magnitude is bounded).  Exists for
+    # constrained MPC: a knot whose torque row is INACTIVE at the
+    # linearization point has no hard restraint in that QP, and with a
+    # capped AL budget (small mu) the L1 merit's linear violation term can
+    # lose to a large task-cost gain — one accepted bound-jump then starts
+    # a chatter blow-up (measured: stacked AS+AL scenarios walking applied
+    # torque to 3000+ at f32/B>=128).  A clip of a few times the torque
+    # limit makes such jumps impossible while leaving warm steady-state
+    # steps (|dU| << clip) untouched.  inf = off (default; unconstrained
+    # parity unchanged).
+    ls_step_clip: float = float("inf")
     exit_tolerance_soft: float = 1e-6
     max_iter_soft: int = 10
     # carry the PCG dual trace (|nu| + TRUE residual |gamma - S lam|
@@ -495,6 +508,13 @@ class SQPSolver:
         blocks = self.kkt.form_blocks(X, U, xs, cost_params, cstate)
         dxu, lam, qp_stats, singular = self.solve_qp_from_blocks(
             blocks, rho, guess)
+        if math.isfinite(o.ls_step_clip):
+            # trust-region clip on the control part of the QP direction
+            # (see SQPOptions.ls_step_clip); one factor keeps dxu on the ray
+            du_max = jnp.max(jnp.abs(dxu[:-1, self.plant.nx:]))
+            dxu = dxu * jnp.minimum(
+                jnp.ones((), dxu.dtype),
+                o.ls_step_clip / jnp.maximum(du_max, 1e-30))
         # with ls_grad_at_base the acceptance test's directional derivative
         # is the KKT gradient (already formed) dotted with the step — once,
         # alpha-independent, instead of a gradient sweep per ladder trial
@@ -579,9 +599,20 @@ class SQPSolver:
                 mu, xs, cost_params, cstate, hit_max)
             done = (exit_code > 0)
             it1 = jnp.where(done, s.it, s.it + 1)
-            return S(X=X1, U=U1, J=J1, c=c1, merit=merit1, rho=rho1,
-                     drho=drho1, it=it1, exit_code=exit_code, done=done,
-                     guess=lam)
+            s_new = S(X=X1, U=U1, J=J1, c=c1, merit=merit1, rho=rho1,
+                      drho=drho1, it=it1, exit_code=exit_code, done=done,
+                      guess=lam)
+            # batch-invariance freeze: under vmap the while_loop runs to
+            # the batch-MAX trip count and the body executes for EVERY
+            # lane each trip — without this gate a scenario that already
+            # exited keeps iterating (rho drift, active-set chatter, AL
+            # escalation) for as long as its slowest batchmate runs, so a
+            # scenario's RESULT depended on which batch it shared (
+            # measured: the same stacked-AS+AL scenario diverges at B=256
+            # and tracks at B=1/B=8 while a different batchmate diverges
+            # instead).  Freezing at done makes solves batch-invariant.
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(s.done, old, new), s_new, s)
 
         init = S(X=X, U=U, J=J0, c=c0, merit=merit0,
                  rho=jnp.asarray(o.rho_init, dtype),
@@ -636,9 +667,12 @@ class SQPSolver:
                                   EXIT_SOFT_MU_LIMIT, exit_soft)
             done = exit_soft > 0
             outer_it1 = jnp.where(hit_max | done, s.outer_it, s.outer_it + 1)
-            return SoftS(X=X1, U=U1, cstate=cstate1, outer_it=outer_it1,
-                         exit_soft=exit_soft, exit_sqp=exit_sqp,
-                         sqp_iters=iters, J=J, c=c, done=done, lam=lam)
+            s_new = SoftS(X=X1, U=U1, cstate=cstate1, outer_it=outer_it1,
+                          exit_soft=exit_soft, exit_sqp=exit_sqp,
+                          sqp_iters=iters, J=J, c=c, done=done, lam=lam)
+            # batch-invariance freeze (see sqp_round body)
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(s.done, old, new), s_new, s)
 
         dtype = x0.dtype
         init = SoftS(X=x0, U=u0, cstate=cstate, outer_it=jnp.array(0),
