@@ -172,28 +172,34 @@ def _pcg_kernel(diag_ref, upper_ref, pdiag_ref, r0_ref,
         thr = jnp.maximum(tol * jnp.abs(m0), 1e-30)
     else:
         thr = jnp.full_like(m0, tol)
-    done0 = jnp.all(jnp.abs(m0) <= thr)     # NaN guard (see btridiag.pcg)
+    lane_done0 = jnp.abs(m0) <= thr         # (BT,) NaN guard (see btridiag.pcg)
 
     def cond(state):
-        _, _, _, nu, it, done = state
-        return jnp.logical_and(~done, it < max_iter)
+        _, _, _, nu, it, lane_done = state
+        return jnp.logical_and(~jnp.all(lane_done), it < max_iter)
 
     def body(state):
-        x, r, p, nu, it, _ = state
+        x, r, p, nu, it, lane_done = state
         Ap = _matvec(diag_p, upper, p, bs, pos)
         pAp = dot(p, Ap)
         alpha = nu / jnp.where(pAp != 0, pAp, 1.0)   # (BT,)
-        x = x + alpha[None, None, :] * p
-        r = r - alpha[None, None, :] * Ap
+        # per-lane freeze: the tile iterates until EVERY lane converges,
+        # so a converged lane must stop stepping — extra Krylov updates
+        # would make its solution depend on its tile-mates (the same
+        # batch-invariance rule as ops/btridiag.pcg)
+        step = jnp.where(lane_done, 0.0, alpha).astype(alpha.dtype)
+        x = x + step[None, None, :] * p
+        r = r - step[None, None, :] * Ap
         rt = apply_P(r)
-        nu_new = dot(r, rt)
+        nu_new = jnp.where(lane_done, nu, dot(r, rt))
         m = dot(r, r) if true_residual_exit else nu_new
-        done = jnp.all(jnp.abs(m) <= thr)
+        lane_done = lane_done | (jnp.abs(m) <= thr)
         beta = nu_new / nu
-        p = rt + beta[None, None, :] * p
-        return (x, r, p, nu_new, it + 1, done)
+        p_new = rt + beta[None, None, :] * p
+        p = jnp.where(lane_done[None, None, :], p, p_new)
+        return (x, r, p, nu_new, it + 1, lane_done)
 
-    init = (x0, r0, rt0, nu0, jnp.zeros((), jnp.int32), done0)
+    init = (x0, r0, rt0, nu0, jnp.zeros((), jnp.int32), lane_done0)
     x, r, p, nu, it, done = jax.lax.while_loop(cond, body, init)
     x_ref[:] = x
     if iters_ref is not None:
