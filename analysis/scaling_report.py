@@ -156,13 +156,18 @@ def main():
                     "docstring).\n\n")
         cor = "corrected_efficiency" in rows[0]
         if cor:
-            f.write("Corrected efficiency = sharded rate / rate of the SAME "
-                    "total batch unsharded on one device owning all host "
-                    "cores (equally-oversubscribed control): host-core "
-                    "contention cancels in the ratio, so this column is "
-                    "the falsifiable sharding-overhead number the raw "
-                    "weak-efficiency column conflates with "
-                    "oversubscription.\n\n")
+            f.write("Corrected efficiency = sharded rate / rate of the "
+                    "SAME total batch unsharded on one device owning all "
+                    "host cores (the equally-oversubscribed control).  A "
+                    "single XLA-CPU device under-parallelizes the vmapped "
+                    "solver across host cores, while P virtual devices "
+                    "run P concurrent executables, so this ratio measures "
+                    "the sharding machinery's parallelization gain NET of "
+                    "its overhead: >= 100% at every P means the shard_map "
+                    "partition + dispatch adds no measurable overhead on "
+                    "this host, and the raw column's decline is host-core "
+                    "oversubscription — demonstrated rather than "
+                    "asserted.\n\n")
         f.write("| devices | batch | solves/s | weak efficiency |"
                 + (" unsharded all-cores solves/s | corrected efficiency |"
                    if cor else "") + "\n"

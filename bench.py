@@ -98,6 +98,15 @@ def main():
                                               "AUGMENTED_LAGRANGIAN")
     if "BENCH_SOFT_ITERS" in os.environ:     # AL outer rounds per solve
         knobs["max_iter_soft"] = int(os.environ["BENCH_SOFT_ITERS"])
+    elif knobs.get("torque_mode", "").startswith(("AUGMENTED", "QUAD")) or             knobs.get("torque_mode", "").endswith("+AL"):
+        # AL-in-MPC default: ONE multiplier update per control step (the
+        # textbook scheme; the MPC shift carries the AL state).  Measured
+        # (bench_history_r5.md finding 8): 12,289 solves/s at 256/256
+        # stable vs 1,240 at 254/256 for the to-convergence default —
+        # the per-solve 10-round loop is a one-shot-trajopt semantics
+        # that the lockstep vmap pays batch-wide.  BENCH_SOFT_ITERS=10
+        # reproduces the library default.
+        knobs["max_iter_soft"] = 1
     if "BENCH_STEP_CLIP" in os.environ:      # trust-region max|dU| clip
         knobs["ls_step_clip"] = float(os.environ["BENCH_STEP_CLIP"])
     if "BENCH_RHO" in os.environ:            # Levenberg damping floor
