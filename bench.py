@@ -78,6 +78,15 @@ def main():
         knobs["max_iter"] = int(os.environ["BENCH_SQP_ITERS"])
     if "BENCH_METHOD" in os.environ:         # PCG-SS (default) / S / ...
         knobs["method"] = os.environ["BENCH_METHOD"]
+        if (knobs["method"] == "iLQR"
+                and "BENCH_SQP_ITERS" not in os.environ):
+            # iLQR needs a deeper per-step budget than SQP in the MPC
+            # regime (its rollout line search has no KKT-exactness to
+            # lean on): measured B=64 150-step rows — 5 iters 1,430
+            # solves/s at 64/64 stable / 0.008 m, 8 iters 910 at equal
+            # quality, while the SQP default (3) diverges
+            # (bench_history_r5.md finding 11; r4 finding 7)
+            knobs["max_iter"] = 5
     if "BENCH_EXACT_SCHUR" in os.environ:    # cr / thomas (method S)
         knobs["exact_schur"] = os.environ["BENCH_EXACT_SCHUR"]
     if "BENCH_ALPHA_MIN" in os.environ:      # line-search ladder depth
