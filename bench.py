@@ -105,6 +105,13 @@ def main():
         knobs["torque_limit"] = float(os.environ["BENCH_TORQUE_LIMIT"])
         knobs["torque_mode"] = os.environ.get("BENCH_TORQUE_MODE",
                                               "AUGMENTED_LAGRANGIAN")
+        if "BENCH_SQP_ITERS" not in os.environ:
+            # constrained runs need one more iteration than the
+            # unconstrained 3 (activity masks / AL multipliers lag the
+            # plan by an iteration); 4 is the measured knee under the
+            # condensed path — same two-seed stability as 5 at +24%
+            # (bench_history_r5.md finding 15)
+            knobs["max_iter"] = 4
     if "BENCH_SOFT_ITERS" in os.environ:     # AL outer rounds per solve
         knobs["max_iter_soft"] = int(os.environ["BENCH_SOFT_ITERS"])
     elif knobs.get("torque_mode", "").startswith(("AUGMENTED", "QUAD")) or             knobs.get("torque_mode", "").endswith("+AL"):
