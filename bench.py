@@ -143,14 +143,15 @@ def main():
     # carries the solve.  0 = uniform budget.  (Round 2 tested the inverse
     # schedule — cheap steady state — and rejected it: warm 2-iter steps
     # drift.  BENCH_WARM_SQP_ITERS reproduces that experiment.)
-    # default: cold = 4 steps x 4 iters x 9-rung ladder, steady = the
-    # _flagship 3-iter/3-rung config.  Round-4 sweep (bench_history_r4.md
-    # finding 16): the round-3 8x6 cold phase was over-budgeted on the
-    # round-4 compiler — descending the (steps x iters) grid found 4x4 at
-    # 18,832 solves/s with seed triplet 512/508/510 of 512 stable vs the
-    # 8x6 default's 17,435 @ 510/509/510 (same robustness band, +8%);
-    # 4x3 drops seed 1 to 504 (rejected), 6x3 to 508.  0 disables.
-    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "4"))
+    # default: cold = 3 steps x 4 iters x 9-rung ladder, steady = the
+    # _flagship 3-iter/3-rung config.  History: round 4 adopted 4x4
+    # (bench_history_r4.md finding 16; 4x3 was rejected for dropping
+    # seed 1, and 3x4 showed 510 on seed 0 under pure CR); round 5's
+    # cold-Thomas hybrid + batch-invariance freeze re-opened the knee —
+    # 3x4 now holds 512/512 on ALL FIVE scenario seeds at 18,758-18,798
+    # solves/s (+0.8% over 4x4's 18,565-18,647 at equal perfection;
+    # bench_history_r5.md finding 17).  0 disables.
+    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "3"))
     ctrl_cold = ctrl_warm = None
     if cold_steps > 0 and "BENCH_WARM_SQP_ITERS" in os.environ:
         warm_iters = int(os.environ["BENCH_WARM_SQP_ITERS"])
