@@ -318,6 +318,9 @@ def main():
     _m = knobs.get("method", "S")
     method_label = (_m if _m.startswith("PCG") or _m == "iLQR"
                     else f"{_m}/{knobs.get('exact_schur', 'cr')}")
+    if knobs.get("torque_limit", 0) > 0:
+        method_label += (f" torque±{knobs['torque_limit']:g} "
+                         f"{knobs.get('torque_mode')}")
     if ctrl_cold is not None and not _m.startswith("PCG") and _m != "iLQR":
         _cold_es = cold_knobs.get("exact_schur", "cr")
         if _cold_es != knobs.get("exact_schur", "cr"):

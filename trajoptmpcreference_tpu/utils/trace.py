@@ -63,8 +63,10 @@ def solve_traced(solver: SQPSolver, x0, u0, cost_params=None, cstate=None):
     dtype = x0.dtype
     max_iter = o.max_iter
 
-    J0 = solver.total_cost(x0, u0, cost_params, cstate)
-    c0 = solver.total_violation(x0, u0, xs)
+    # the SAME fused base-metrics sweep the solver uses (sqp_round) — a
+    # separate total_cost/total_violation pair would reassociate the sums
+    # and the traced run could round onto a different iterate path
+    J0, c0 = solver.base_metrics(x0, u0, xs, cost_params, cstate)
     mu = solver.merit_weight(J0, c0)
     merit0 = J0 + mu * c0
     guess0 = jnp.zeros((solver.N, solver.kkt.bs), dtype=dtype)
