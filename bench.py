@@ -143,15 +143,16 @@ def main():
     # carries the solve.  0 = uniform budget.  (Round 2 tested the inverse
     # schedule — cheap steady state — and rejected it: warm 2-iter steps
     # drift.  BENCH_WARM_SQP_ITERS reproduces that experiment.)
-    # default: cold = 3 steps x 4 iters x 9-rung ladder, steady = the
-    # _flagship 3-iter/3-rung config.  History: round 4 adopted 4x4
-    # (bench_history_r4.md finding 16; 4x3 was rejected for dropping
-    # seed 1, and 3x4 showed 510 on seed 0 under pure CR); round 5's
-    # cold-Thomas hybrid + batch-invariance freeze re-opened the knee —
-    # 3x4 now holds 512/512 on ALL FIVE scenario seeds at 18,758-18,798
-    # solves/s (+0.8% over 4x4's 18,565-18,647 at equal perfection;
-    # bench_history_r5.md finding 17).  0 disables.
-    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "3"))
+    # default: cold = ONE step x 4 iters x 9-rung ladder (block-Thomas
+    # exact solves), steady = the _flagship 3-iter/3-rung CR config.
+    # History: round 4 adopted 4x4 (bench_history_r4.md finding 16);
+    # round 5's cold-Thomas hybrid + batch-invariance freeze re-opened
+    # the knee, and the full descent (bench_history_r5.md finding 17)
+    # found the cliff: 1x4 holds 512/512 on ALL FIVE scenario seeds at
+    # 19,289-19,318 solves/s, 1x3 cracks (511 on seed 0), and no cold
+    # phase collapses (488/484) — ONE deep Thomas-cold step is the
+    # load-bearing minimum.  0 disables.
+    cold_steps = int(os.environ.get("BENCH_COLD_STEPS", "1"))
     ctrl_cold = ctrl_warm = None
     if cold_steps > 0 and "BENCH_WARM_SQP_ITERS" in os.environ:
         warm_iters = int(os.environ["BENCH_WARM_SQP_ITERS"])
