@@ -60,6 +60,10 @@ def main():
                              "ACTIVE_SET", "FULL_SET", "ACTIVE_SET+AL"])
     ap.add_argument("--torque-band", type=float, default=0.2,
                     help="active-set chatter-damping activation band")
+    ap.add_argument("--watchdog", type=float, default=float("inf"),
+                    help="MPCController.watchdog_u_max: coast + cold-reset "
+                    "the warm carry when a solve returns a plan whose "
+                    "first control exceeds this bound (or is non-finite)")
     ap.add_argument("--step-clip", type=float, default=float("inf"),
                     help="trust-region clip on max|dU| in the line-searched "
                     "path (constrained-MPC bound-jump guard)")
@@ -112,6 +116,9 @@ def main():
         pcg_iters=args.pcg_iters, pcg_tol=args.pcg_tol,
         torque_limit=args.torque_limit, torque_mode=args.torque_mode,
         torque_band=args.torque_band)
+    if args.watchdog != float("inf"):
+        import dataclasses as _dc
+        ctrl = _dc.replace(ctrl, watchdog_u_max=args.watchdog)
     ctrl_cold = None
     if args.cold_steps > 0:
         _, _, ctrl_cold = _flagship_mpc(

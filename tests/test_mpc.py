@@ -152,3 +152,35 @@ def test_run_scheduled_budget_drop():
     assert abs(float(res.X_applied[0, -1]) - np.pi) < 0.02
     assert abs(float(res.X_applied[1, -1])) < 0.02
     assert int(np.max(np.asarray(res.iters)[15:])) <= 1
+
+
+@pytest.mark.slow
+def test_plan_watchdog_coasts_and_recovers():
+    """watchdog_u_max: a solve whose first control exceeds the bound makes
+    the controller coast (u = 0) for that step and cold-reset the warm
+    carry; a sane solve is untouched (bit-identical to watchdog off)."""
+    from trajoptmpcreference_tpu.solvers.mpc import MPCController, make_mpc
+
+    plant = PendulumPlant()
+    N = 20
+    cost = QuadraticCost(jnp.eye(2), 100.0 * jnp.eye(2), 0.1 * jnp.eye(1),
+                         jnp.array([np.pi, 0.0]))
+    base = make_mpc(plant, cost, None, N, 0.1, method="QP-S")
+    wd = MPCController(solver=base.solver, sim_plant=plant,
+                       watchdog_u_max=50.0)
+    x0 = jnp.zeros(2)
+    a = jax.jit(lambda x: base.run(x, steps=25))(x0)
+    b = jax.jit(lambda x: wd.run(x, steps=25))(x0)
+    # sane solves: the watchdog is transparent
+    np.testing.assert_array_equal(np.asarray(a.U_applied),
+                                  np.asarray(b.U_applied))
+    # a bound tighter than the swing-up's needed |u| ~ 9.4 trips it: the
+    # applied control is then EXACTLY zero on tripped steps, never the
+    # over-bound plan value
+    wd2 = MPCController(solver=base.solver, sim_plant=plant,
+                        watchdog_u_max=5.0)
+    c = jax.jit(lambda x: wd2.run(x, steps=25))(x0)
+    U = np.asarray(c.U_applied)
+    assert np.all(np.isfinite(np.asarray(c.X_applied)))
+    assert np.all((np.abs(U) <= 5.0) | (U == 0.0))
+    assert np.any(U == 0.0)          # it actually tripped

@@ -24,6 +24,7 @@ shardable over a mesh (parallel/).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, NamedTuple, Optional, Union
 
 import jax
@@ -73,6 +74,16 @@ class MPCController:
     solver: Union[SQPSolver, ILQRSolver]
     sim_plant: Plant          # the "true" plant used to propagate the state
     shift: int = 1
+    # Closed-loop plan watchdog (the SURVEY §5 failure-detection
+    # analogue): when a solve returns a non-finite plan or a first
+    # control beyond this bound, the controller applies ZERO control for
+    # that step and cold-resets the entire warm-start carry (plan,
+    # multipliers, soft-constraint state) so the next step re-solves
+    # from scratch — one bad solve costs one coasting step instead of
+    # poisoning every subsequent warm start (the divergence mechanism in
+    # the stacked-constraint forensics, bench_history_r5.md finding 10).
+    # inf = off (default; reference parity).
+    watchdog_u_max: float = float("inf")
 
     @property
     def plant(self) -> Plant:
@@ -112,6 +123,8 @@ class MPCController:
         else:
             lam0 = (jnp.zeros((N, solver.kkt.bs), dtype=dtype) if is_sqp
                     else jnp.zeros((0,), dtype=dtype))
+        # fresh soft-constraint state for watchdog cold-resets
+        cstate_fresh = solver.cset.init_state(dtype=dtype)
 
         def step(carry, _):
             x, Xp, Up, cstate, lam = carry
@@ -126,7 +139,6 @@ class MPCController:
                                    cstate=cstate)
                 it, code, lam1 = res.iters, res.exit_ilqr, lam
             u0 = res.U[:, 0]
-            x1 = self.sim_plant.step(x, u0, dt)
             Xs, Us = _shift_plan(res.X, res.U, self.shift)
             cstate1 = C.shift_all_soft(solver.cset, res.cstate, self.shift)
             if is_sqp:
@@ -142,6 +154,20 @@ class MPCController:
                     lam_s, jnp.zeros_like(lam1[-1:]))
             else:
                 lam_s = lam1
+            if math.isfinite(self.watchdog_u_max):
+                # plan watchdog: coast + cold-reset the carry on a bad
+                # solve (see the field docstring)
+                bad = (~jnp.all(jnp.isfinite(res.U))
+                       | ~jnp.all(jnp.isfinite(res.X))
+                       | (jnp.max(jnp.abs(u0)) > self.watchdog_u_max))
+                u0 = jnp.where(bad, 0.0, u0)
+                Xs = jnp.where(bad, jnp.tile(x[:, None], (1, N)), Xs)
+                Us = jnp.where(bad, 0.0, Us)
+                lam_s = jnp.where(bad, 0.0, lam_s)
+                cstate1 = jax.tree_util.tree_map(
+                    lambda cur, fresh: jnp.where(bad, fresh, cur),
+                    cstate1, cstate_fresh)
+            x1 = self.sim_plant.step(x, u0, dt)
             return ((x1, Xs, Us, cstate1, lam_s),
                     (x1, u0, res.J, it, code))
 
