@@ -104,9 +104,14 @@ class KKTSystem:
     #   "cr"        — block cyclic reduction (log2(N) levels of batched
     #                 block ops; the TPU-parallel exact solve — see
     #                 ops.btridiag.btd_cyclic_reduction)
-    #   "cr_refine" — cr + ONE iterative-refinement step (2x the CR work;
-    #                 recovers the sequential solver's f32 accuracy at
-    #                 log-depth latency)
+    #   "cr_refine" — cr + ONE iterative-refinement step (2x the CR
+    #                 work).  Helps only in the MILD-conditioning regime
+    #                 (kappa * eps_f32 < 1): on the cold-start flagship
+    #                 systems (kappa ~ 1e7-1e9) same-precision refinement
+    #                 AMPLIFIES the residual and the closed loop tracks
+    #                 worse than cold-Thomas (measured:
+    #                 analysis/horizon_scaling_tpu.md,
+    #                 bench_history_r5.md finding 12)
     exact_schur: str = "thomas"
 
     # ---- static sizes ----
@@ -516,12 +521,12 @@ class KKTSystem:
             if self.exact_schur in ("cr", "cr_refine"):
                 lam = btd_cyclic_reduction(S, gam)
                 if self.exact_schur == "cr_refine":
-                    # one step of iterative refinement: CR's ~2x block work
-                    # amplifies f32 rounding ~3x vs sequential Thomas
-                    # (bench_history_r4.md finding 19); re-solving for the
-                    # residual recovers Thomas-grade accuracy at CR's
-                    # log-depth latency (the residual solve reuses the
-                    # same batched level kernels)
+                    # one step of iterative refinement on the CR solve.
+                    # Useful ONLY when kappa * eps_f32 < 1: at the
+                    # cold-start flagship conditioning (kappa ~ 1e7+) the
+                    # same-precision residual re-solve AMPLIFIES instead
+                    # (measured, analysis/horizon_scaling_tpu.md), so the
+                    # bench's precision option remains cold-Thomas
                     r = gam - btd_matvec(S, lam)
                     lam = lam + btd_cyclic_reduction(S, r)
             else:
