@@ -351,14 +351,25 @@ def test_condensed_schur_matches_generic():
                         jnp.asarray([1.5, 1.0, 0, 0, 0, 0], jnp.float64))
         rng = np.random.default_rng(7)
         X = jnp.asarray(0.2 * rng.standard_normal((nx, N)))
+        # knot 0 must be interior to any JOINT box: the initial-state
+        # defect rows fix x_0 completely, so an active hard row on x_0 is
+        # linearly dependent with them and the KKT system is singular —
+        # in every path, and in the reference (its lstsq fallback is the
+        # acknowledgment)
+        X = X.at[:, 0].set(0.0)
         # controls straddling a tight limit: some rows active, some not
         U = jnp.asarray(0.6 * rng.standard_normal((nu, N - 1)))
         xs = X[:, 0]
         rho = jnp.asarray(1e-3, jnp.float64)
 
-        def build(mode, stack_al=False):
+        def build(mode, stack_al=False, joint=False):
             cs = ConstraintSet(plant.nq, plant.nq, nu, N)
-            cs = cs.with_torque_limits(0.5, -0.5, mode)
+            if joint:
+                # x-side rows: Jx != 0, so the condensation's P = iGxx Jx^T
+                # coupling and the terminal hard-row group are live
+                cs = cs.with_joint_limits(0.15, -0.15, mode)
+            else:
+                cs = cs.with_torque_limits(0.5, -0.5, mode)
             if stack_al:
                 cs = cs.with_torque_limits(0.5, -0.5,
                                            "AUGMENTED_LAGRANGIAN")
@@ -369,20 +380,38 @@ def test_condensed_schur_matches_generic():
         # the generic path, same degeneracy behavior as the reference
         assert not build("FULL_SET", False).kkt._can_condense_hard()
 
-        for mode, stack in (("ACTIVE_SET", False), ("ACTIVE_SET", True)):
-            s = build(mode, stack)
+        for mode, stack, joint in (("ACTIVE_SET", False, False),
+                                   ("ACTIVE_SET", True, False),
+                                   ("ACTIVE_SET", False, True)):
+            s = build(mode, stack, joint)
             kkt = s.kkt
-            assert kkt._can_condense_hard(), (mode, stack)
+            assert kkt._can_condense_hard(), (mode, stack, joint)
             cstate = s.cset.init_state(jnp.float64)
             if stack:
                 # exercise a nonzero AL state (post-outer-round mu/lam)
                 cstate = tuple(
                     st._replace(mu=10.0 * st.mu,
                                 lam=st.lam + 0.3) for st in cstate)
-            blocks = kkt.form_blocks(X, U, xs, cost.default_params, cstate)
+            Xj = X
+            if joint:
+                # hard POSITION limits active on CONSECUTIVE knots are
+                # nearly dependent through the dynamics rows (positions
+                # move O(dt) per step), so the KKT is near-singular in
+                # ANY formulation — the classical reason state limits are
+                # soft.  The x-side parity point uses isolated
+                # activations: interior everywhere except two spiked,
+                # non-adjacent knots (incl. the terminal group).
+                Xj = jnp.zeros_like(X)
+                Xj = Xj.at[0, 4].set(0.3).at[1, 8].set(-0.3)
+                Xj = Xj.at[0, N - 1].set(0.3)
+            blocks = kkt.form_blocks(Xj, U, Xj[:, 0], cost.default_params,
+                                     cstate)
             if mode == "ACTIVE_SET" and not stack:
                 act = np.asarray(blocks.hact)
                 assert 0 < act.sum() < act.size, "need mixed activity"
+            if joint:
+                # the joint rows must be live at the TERMINAL knot too
+                assert np.asarray(blocks.hact)[-1].sum() > 0
 
             # generic bs = nx+m path, exact Thomas solve
             Sg, gamg, invG, E, F = kkt.schur_blocks(blocks, rho)
