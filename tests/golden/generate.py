@@ -25,7 +25,7 @@ REF = sys.argv[1] if len(sys.argv) > 1 else "/root/reference"
 sys.path.insert(0, REF)
 
 from TrajoptPlant import URDFPlant  # noqa: E402
-from TrajoptCost import UrdfCost, QuadraticCost  # noqa: E402
+from TrajoptCost import UrdfCost  # noqa: E402
 from TrajoptConstraint import TrajoptConstraint  # noqa: E402
 from TrajoptMPCReference import TrajoptMPCReference, SQPSolverMethods  # noqa: E402
 
